@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.text.Normalizer
+import scala.collection.mutable.ArrayBuffer
+
+/** A single token produced by [[Tokenizer]].
+  *
+  * @param term normalized word (lowercase, NFKD, marks stripped), ≤250 bytes
+  * @param pos  absolute word position within the field (see position rules)
+  */
+final case class Token(term: String, pos: Int)
+
+/** Unicode-ish word tokenizer for source code and prose, modeled on the
+  * behavior of the reference engine's charabia tokenizer
+  * (reference: crates/milli/src/update/new/extract/searchable/tokenize_document.rs:26-160
+  * and crates/milli/src/lib.rs:201-225) but specified independently here:
+  *
+  *  - words are maximal runs of letters/digits/`_` (Unicode-aware);
+  *  - camelCase / PascalCase / snake_case / digit boundaries split words
+  *    into subtokens (`parseHTTPBuffer` -> `parse`, `http`, `buffer`;
+  *    `foo_bar2` -> `foo`, `bar`, `2`);
+  *  - normalization = lowercase + NFKD + strip nonspacing marks;
+  *  - positions: +1 per emitted token; crossing a HARD separator
+  *    (anything containing `.`, `;`, `,`, `!`, `?`, newline, `(`, `)`,
+  *    `{`, `}`, `[`, `]`) advances the position counter by
+  *    [[Tokenizer.HardSeparatorGap]] instead of 1 (reference
+  *    tokenize_document.rs:17 MAX_DISTANCE=8);
+  *  - words longer than [[Tokenizer.MaxWordLength]] bytes are dropped
+  *    (reference lib.rs:127 MAX_WORD_LENGTH=250).
+  *
+  * Pure function: used both index-side (flatMap over the corpus Dataset)
+  * and query-side, so both ends agree by construction.
+  */
+object Tokenizer extends Serializable {
+  final val MaxWordLength = 250
+  final val HardSeparatorGap = 8
+  /** Positions past this are bucketed (reference lib.rs:213-225). */
+  final val PositionBucketStart = 16
+
+  private final val HardSeps = ".;,!?(){}[]\n".toSet
+
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Normalize one word: lowercase, NFKD, strip combining marks. */
+  def normalize(s: String): String = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val nfkd = Normalizer.normalize(lower, Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(nfkd.length)
+    var i = 0
+    while (i < nfkd.length) {
+      val c = nfkd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Split a raw word into subtokens on case/underscore/digit boundaries.
+    * `parseHTTPBuffer` -> parse|HTTP|Buffer, `a_b` -> a|b, `v2x` -> v|2|x.
+    * An upper-run followed by a lower char splits before its last char
+    * (HTTPServer -> HTTP|Server).
+    */
+  def subtokens(word: String): Seq[String] = {
+    if (word.isEmpty) return Nil
+    val out = new ArrayBuffer[String](4)
+    val n = word.length
+    var start = 0
+    var i = 1
+    @inline def kind(c: Char): Int =
+      if (c == '_') 0
+      else if (Character.isDigit(c)) 1
+      else if (Character.isUpperCase(c)) 2
+      else 3 // lower / other letter
+    while (i < n) {
+      val pk = kind(word.charAt(i - 1))
+      val ck = kind(word.charAt(i))
+      val boundary =
+        if (ck == 0 || pk == 0) true                 // underscore always splits
+        else if (pk != ck) {
+          // upper->lower inside an acronym run: split before the last upper
+          if (pk == 2 && ck == 3 && i - 1 > start) { out += word.substring(start, i - 1); start = i - 1; false }
+          else pk != 2 || ck != 3                    // lower->upper, digit edges split; Upper->lower (single) doesn't
+        } else false
+      if (boundary) {
+        if (i > start && word.charAt(start) != '_') out += word.substring(start, i)
+        start = i
+        if (word.charAt(i) == '_') start = i + 1
+      }
+      i += 1
+    }
+    if (start < n && word.charAt(start) != '_') out += word.substring(start, n)
+    out.filter(_.nonEmpty).toSeq
+  }
+
+  /** Bucket a raw position: identity below 16, then exponential-ish
+    * coarsening (independent spec mirroring reference lib.rs:213-225). */
+  def bucketPosition(pos: Int): Int =
+    if (pos < PositionBucketStart) pos
+    else if (pos < 24) 16 + (pos - 16) / 2
+    else if (pos < 64) 20 + (pos - 24) / 8
+    else if (pos < 256) 25 + (pos - 64) / 32
+    else if (pos < 1024) 31 + (pos - 256) / 128
+    else math.min(47, 37 + (pos - 1024) / 1024)
+
+  /** Tokenize one field. Returns tokens with absolute positions. */
+  def tokenize(text: String): Seq[Token] = {
+    if (text == null || text.isEmpty) return Nil
+    val out = new ArrayBuffer[Token](math.min(64, text.length / 4 + 1))
+    var pos = -1          // next token gets pos+inc
+    var pendingHard = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isWordChar(c)) {
+        val start = i
+        while (i < n && isWordChar(text.charAt(i))) i += 1
+        val raw = text.substring(start, i)
+        val subs = subtokens(raw)
+        var j = 0
+        while (j < subs.length) {
+          val norm = normalize(subs(j))
+          if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength) {
+            val inc = if (pendingHard) HardSeparatorGap else 1
+            pos = if (pos < 0) 0 else pos + inc
+            pendingHard = false
+            out += Token(norm, pos)
+          }
+          j += 1
+        }
+      } else {
+        if (HardSeps.contains(c)) pendingHard = true
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tokenize and keep only terms (for df/tf paths). */
+  def terms(text: String): Seq[String] = tokenize(text).map(_.term)
+
+  /** Simple split used by the SQL-oracle-checked queries: lowercase,
+    * split on non-alphanumeric runs. Matches DuckDB
+    * `string_split_regex(lower(text), '[^a-z0-9]+')`. */
+  def simpleTerms(text: String): Seq[String] =
+    if (text == null) Nil
+    else text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSeq
+}
