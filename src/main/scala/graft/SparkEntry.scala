@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextMetrics}
+import graft.streaming.Events
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2),
+  * each with a DuckDB-equivalent oracle where SQL can express it.
+  *
+  * Shared tokenization spec between engine and oracles: lowercase,
+  * split on non-[a-z0-9] runs, drop empties (Tokenizer.simpleTerms).
+  * On the driver `documents` corpus this equals the engine's full
+  * charabia-style tokenizer (pure lowercase alpha vocabulary), so the
+  * inverted-index path itself is oracle-checked.
+  *
+  * Score determinism: BM25 scores are rounded to 1e-6 and ordered by
+  * (rounded score desc, doc_id asc) on BOTH sides; vector dot products
+  * are integer fixed-point (see ops.Similarity).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001: build/reuse the inverted index over
+    * `documents` and run a ranked conjunctive BM25 search. */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = DocIndex.engine(spark, "/root/testdata/sf0.001")
+    e.searchHits("batch stream", 10)
+  }
+
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def eventsDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** searchDF + the deterministic rounding/ordering contract. */
+  private def rankedSearch(s: SparkSession, dir: String, q: String,
+                           conjunctive: Boolean, k: Int): DataFrame = {
+    val e = DocIndex.engine(s, dir)
+    e.searchDF(q, 1000000, conjunctive)
+      .select(col("docId").cast("long").as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- index build artifacts (A1/A2: posting-list GROUP BYs) -------
+    "q_dict" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      s.read.parquet(s"${e.indexDir}/dict").select(col("term"), col("df"), col("cf"))
+    }),
+    "q_doclen" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.docs.select(col("docId").cast("long").as("doc_id"), col("len").cast("long").as("len"))
+    }),
+    "q_stats" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.docs.agg(count(lit(1)).as("n_docs"),
+        round(avg(col("len")), 6).as("avgdl"))
+    }),
+    // ---- ranked retrieval (R*/T1: BM25 top-k) ------------------------
+    "q_bm25_and" -> ((s, dir) => rankedSearch(s, dir, "spark merge", true, 20)),
+    "q_bm25_or" -> ((s, dir) => rankedSearch(s, dir, "batch stream window", false, 20)),
+    "q_bm25_filter" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.searchDF("data table", 1000000, conjunctive = true,
+          candidates = Some(e.docs.filter(graft.query.FilterParser.parse("lang = en"))))
+        .select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+    // ---- facets (A3/A4), sort (R5), distinct (A8) --------------------
+    "q_facet_lang" -> ((s, dir) =>
+      DocIndex.engine(s, dir).facetDistribution("batch", "lang")
+        .select(col("lang"), col("n"))),
+    "q_facet_stats" -> ((s, dir) =>
+      DocIndex.engine(s, dir)
+        .facetStats("batch", length(col("content")), "nchars")),
+    "q_sort" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.docs.join(broadcast(e.candidates("window")), Seq("docId"), "left_semi")
+        .select(col("docId").cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_chars_m"))
+        .orderBy(col("n_chars_m").desc, col("doc_id").asc)
+        .limit(30)
+    }),
+    "q_distinct" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      val scored = e.searchDF("spark", 1000000, conjunctive = true)
+        .select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .join(e.docs.select(col("docId").cast("long").as("doc_id"),
+          col("repo").as("source")), Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("doc_id"), col("score"))
+    }),
+    // ---- words / phrase / proximity / negative / prefix / typo -------
+    "q_words_count" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.decoded(e.analyze("batch stream window")).toDF()
+        .groupBy(col("docId").cast("long").as("doc_id"))
+        .agg(countDistinct(col("term")).as("n_matched"))
+    }),
+    "q_phrase" -> ((s, dir) =>
+      DocIndex.engine(s, dir).phrase(Seq("batch", "batch"))
+        .select(col("docId").cast("long").as("doc_id"))),
+    "q_proximity" -> ((s, dir) =>
+      DocIndex.engine(s, dir).proximity("spark", "merge")
+        .select(col("docId").cast("long").as("doc_id"), col("prox"))),
+    "q_negative" -> ((s, dir) =>
+      DocIndex.engine(s, dir).negative("batch", "stream")
+        .select(col("docId").cast("long").as("doc_id"))),
+    "q_prefix" -> ((s, dir) =>
+      DocIndex.engine(s, dir).prefixSearch("s")
+        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))),
+    "q_typo" -> ((s, dir) =>
+      DocIndex.engine(s, dir).typoSearch("sparkz", 1)
+        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))),
+    // ---- dedup family -------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docsDf(s, dir), "doc_id", "text")),
+    "q_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsDf(s, dir), "doc_id", "text", 3, 0.2)),
+    "q_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(docsDf(s, dir), "doc_id", "text", 3, 4)),
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsDf(s, dir), "doc_id", "text", 3, 4, 2)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash16(docsDf(s, dir), "doc_id", "text")),
+    // ---- text metrics --------------------------------------------------
+    "q_quality" -> ((s, dir) =>
+      TextMetrics.quality(docsDf(s, dir), "doc_id", "text")),
+    "q_langid" -> ((s, dir) =>
+      TextMetrics.langId(docsDf(s, dir), "doc_id", "text")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextMetrics.fingerprint(docsDf(s, dir), "doc_id", "text")),
+    // ---- similarity search ---------------------------------------------
+    "q_knn" -> ((s, dir) =>
+      Similarity.cosineTopK(embDf(s, dir), "vec_id", "embedding", 0L, 10)),
+    "q_knn_lsh" -> ((s, dir) => // rows-only: approximate path
+      Similarity.lshTopK(s, embDf(s, dir), "vec_id", "embedding", 0L, 10,
+        nPlanes = 4)),
+    // ---- streaming-shaped aggregation ----------------------------------
+    "q_events_hourly" -> ((s, dir) =>
+      Events.hourlyCounts(eventsDf(s, dir))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))),
+    // ---- multimodal plumbing (rows-only: stubbed decoder) --------------
+    "q_mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.assetsFromText(docsDf(s, dir), "doc_id", "text"))
+        .toDF().select(col("assetId").as("asset_id"), col("kind"),
+          col("byteLen").cast("long").as("byte_len"), col("sha"))),
+    "q_mm_frames" -> ((s, dir) => { // rows-only
+      val f = Multimodal.extractFeatures(s,
+        Multimodal.assetsFromText(docsDf(s, dir), "doc_id", "text"))
+      Multimodal.sampleFrames(s, f, 4)
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Shared prefix: tokenization with positions.
+  // ---------------------------------------------------------------------
+  private val TOK =
+    """WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+      |tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(ts) AS len FROM tl),
+      |st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(len) FROM dl) AS avgdl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+
+  /** BM25 per-(doc,term) score for terms of one query. */
+  private def bmCte(terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""bm AS (SELECT tf.doc_id, tf.term,
+       |  ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 /
+       |  (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / st.avgdl)) AS ts
+       | FROM tf JOIN dft USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+       | WHERE tf.term IN ($in))""".stripMargin
+  }
+
+  private def bm25Sql(terms: Seq[String], conjunctive: Boolean, k: Int,
+                      filterJoin: String = ""): String = {
+    val having = if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    s"""$TOK,
+       |${bmCte(terms)},
+       |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id $having)
+       |SELECT agg.doc_id AS doc_id, round(agg.s, 6) AS score
+       |FROM agg $filterJoin
+       |ORDER BY round(agg.s, 6) DESC, agg.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  private val ShingleCte =
+    """sh AS (SELECT DISTINCT doc_id AS id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS shingle
+      | FROM tl, unnest(range(len(ts) - 2)) AS u(i) WHERE len(ts) >= 3)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dict" ->
+      s"""$TOK SELECT term, count(*) AS df, sum(tf) AS cf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_doclen" ->
+      s"""$TOK SELECT doc_id, len FROM dl ORDER BY doc_id""".stripMargin,
+    "q_stats" ->
+      s"""$TOK SELECT st.n AS n_docs, round(st.avgdl, 6) AS avgdl FROM st""".stripMargin,
+    "q_bm25_and" -> bm25Sql(Seq("spark", "merge"), conjunctive = true, 20),
+    "q_bm25_or" -> bm25Sql(Seq("batch", "stream", "window"), conjunctive = false, 20),
+    "q_bm25_filter" -> bm25Sql(Seq("data", "table"), conjunctive = true, 20,
+      "JOIN documents d ON d.doc_id = agg.doc_id AND d.lang = 'en'"),
+    "q_facet_lang" ->
+      s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch')
+         |SELECT d.lang AS lang, count(*) AS n FROM documents d
+         |JOIN cand USING(doc_id) GROUP BY d.lang
+         |ORDER BY n DESC, lang ASC LIMIT 100""".stripMargin,
+    "q_facet_stats" ->
+      s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch')
+         |SELECT min(length(d.text)) AS min_nchars, max(length(d.text)) AS max_nchars,
+         |count(*) AS n FROM documents d JOIN cand USING(doc_id)""".stripMargin,
+    "q_sort" ->
+      s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'window')
+         |SELECT d.doc_id AS doc_id, length(d.text) AS n_chars_m FROM documents d
+         |JOIN cand USING(doc_id)
+         |ORDER BY n_chars_m DESC, doc_id ASC LIMIT 30""".stripMargin,
+    "q_distinct" ->
+      s"""$TOK,
+         |${bmCte(Seq("spark"))},
+         |agg AS (SELECT doc_id, round(sum(ts), 6) AS score FROM bm GROUP BY doc_id),
+         |ranked AS (SELECT d.source AS source, agg.doc_id AS doc_id, agg.score AS score,
+         |  row_number() OVER (PARTITION BY d.source ORDER BY agg.score DESC, agg.doc_id ASC) AS rn
+         | FROM agg JOIN documents d USING(doc_id))
+         |SELECT source, doc_id, score FROM ranked WHERE rn = 1""".stripMargin,
+    "q_words_count" ->
+      s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_matched FROM tf
+         |WHERE term IN ('batch', 'stream', 'window') GROUP BY doc_id""".stripMargin,
+    "q_phrase" ->
+      s"""$TOK SELECT DISTINCT a.doc_id AS doc_id
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'batch' AND b.term = 'batch'""".stripMargin,
+    "q_proximity" ->
+      s"""$TOK SELECT a.doc_id AS doc_id,
+         |least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END), 7) AS prox
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |WHERE a.term = 'spark' AND b.term = 'merge' GROUP BY a.doc_id""".stripMargin,
+    "q_negative" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tf WHERE term = 'batch'
+         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')""".stripMargin,
+    "q_prefix" ->
+      s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_terms FROM tf
+         |WHERE term LIKE 's%' GROUP BY doc_id""".stripMargin,
+    "q_typo" ->
+      s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_terms FROM tf
+         |WHERE levenshtein(term, 'sparkz') <= 1 GROUP BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_jaccard" ->
+      s"""$TOK,
+         |$ShingleCte,
+         |sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS a, b.id AS b, count(*) AS inter
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         | GROUP BY a.id, b.id)
+         |SELECT p.a AS a, p.b AS b, p.inter AS inter,
+         | (sa.s + sb.s - p.inter) AS uni,
+         | round(p.inter / (sa.s + sb.s - p.inter), 6) AS jacc
+         |FROM pairs p JOIN sz sa ON sa.id = p.a JOIN sz sb ON sb.id = p.b
+         |WHERE round(p.inter / (sa.s + sb.s - p.inter), 6) >= 0.2""".stripMargin,
+    "q_minhash" ->
+      s"""$TOK,
+         |$ShingleCte
+         |SELECT id, min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         | min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+         |FROM sh GROUP BY id""".stripMargin,
+    "q_lsh_pairs" ->
+      s"""$TOK,
+         |$ShingleCte,
+         |sig AS (SELECT id, min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+         |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+         |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+         | FROM sh GROUP BY id),
+         |buckets AS (
+         | SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig UNION ALL
+         | SELECT id, 1, md5(mh2 || '|' || mh3) FROM sig UNION ALL
+         | SELECT id, 2, md5(mh4 || '|' || mh5) FROM sig UNION ALL
+         | SELECT id, 3, md5(mh6 || '|' || mh7) FROM sig)
+         |SELECT DISTINCT l.id AS a, r.id AS b FROM buckets l
+         |JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin,
+    "q_simhash" ->
+      s"""$TOK,
+         |th AS (SELECT doc_id, term, tf, md5(term) AS h FROM tf),
+         |bits AS (SELECT doc_id, j,
+         |  sum(CASE WHEN substr(h, j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+         |      THEN tf ELSE -tf END) AS s
+         | FROM th, unnest(range(16)) AS u(j) GROUP BY doc_id, j)
+         |SELECT doc_id AS id, sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""$TOK,
+         |agg AS (SELECT doc_id,
+         |  sum(length(term)) AS sumlen,
+         |  sum(CASE WHEN term IN ('the','a','an','and','of','to','in','is','it','on','for','with') THEN 1 ELSE 0 END) AS nstop,
+         |  count(DISTINCT term) AS ndist, count(*) AS ntok
+         | FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id AS id, length(d.text) AS n_chars_m, a.ntok AS n_tokens,
+         | a.ndist AS n_distinct,
+         | round(a.sumlen / greatest(a.ntok, 1), 6) AS avg_token_len,
+         | round(a.nstop / greatest(a.ntok, 1), 6) AS stopword_ratio,
+         | round(a.ndist / greatest(a.ntok, 1), 6) AS distinct_ratio
+         |FROM documents d JOIN agg a USING(doc_id)""".stripMargin,
+    "q_langid" ->
+      s"""$TOK,
+         |sc AS (SELECT doc_id,
+         |  sum(CASE WHEN term IN ('the','and','of','to','a','is') THEN 1 ELSE 0 END) AS s_en,
+         |  sum(CASE WHEN term IN ('el','la','los','de','y','que') THEN 1 ELSE 0 END) AS s_es,
+         |  sum(CASE WHEN term IN ('le','la','les','et','de','un') THEN 1 ELSE 0 END) AS s_fr,
+         |  sum(CASE WHEN term IN ('der','die','das','und','zu','ist') THEN 1 ELSE 0 END) AS s_de
+         | FROM tok GROUP BY doc_id)
+         |SELECT doc_id AS id,
+         | CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |      WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |      WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_pred
+         |FROM sc""".stripMargin,
+    "q_fingerprint" ->
+      s"""$TOK
+         |SELECT doc_id AS id,
+         | md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp,
+         | len(list_distinct(ts)) AS n_distinct
+         |FROM tl""".stripMargin,
+    "q_knn" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+        |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM ex WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id,
+        |  sum(CAST(floor(CAST(e.x AS DOUBLE) * q.qx * 1e9 + 0.5) AS BIGINT)) AS dot,
+        |  sum(CAST(floor(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS nn
+        | FROM ex e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+        |qn AS (SELECT nn AS qnorm FROM dots WHERE vec_id = 0)
+        |SELECT d.vec_id AS vec_id,
+        | round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS score
+        |FROM dots d CROSS JOIN qn
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_mm_features" ->
+      """SELECT doc_id AS asset_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |octet_length(CAST(text AS BLOB)) AS byte_len, sha256(text) AS sha
+        |FROM documents""".stripMargin
+  )
 }

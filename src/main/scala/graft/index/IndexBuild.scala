@@ -27,7 +27,11 @@ final case class IndexConfig(
     docsPerShard: Int = 1 << 14,
     termBuckets: Int = 8,
     blockSize: Int = 128,
-    numPartitions: Int = 32)
+    numPartitions: Int = 32,
+    /** also build the word-position table (phrase / proximity /
+      * attribute ranking rules; reference word_position_docids,
+      * index.rs:137-138). */
+    positions: Boolean = false)
 
 /** Inverted-index builder: the Spark-first re-expression of the
   * reference's document-indexing pipeline (reference:
@@ -65,9 +69,37 @@ object IndexBuild {
 
   def build(spark: SparkSession, corpus: Dataset[SourceFile], indexDir: String,
             cfg: IndexConfig = IndexConfig()): Unit = {
-    import spark.implicits._
-
     val indexed = DocIds.assign(spark, corpus, cfg.numPartitions)
+    buildIndexed(spark, indexed, indexDir, cfg)
+    indexed.unpersist()
+  }
+
+  /** Build over rows that already carry a docid (e.g. an external table
+    * with a dense primary key): no global-sort id assignment needed. */
+  def buildFromTable(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                     docIdCol: String, contentCol: String, langCol: String,
+                     sourceCol: String, indexDir: String,
+                     cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val indexed = df.select(
+      col(docIdCol).cast("int").as("docId"),
+      col(sourceCol).as("repo"),
+      col(docIdCol).cast("string").as("path"),
+      lit("").as("commit"),
+      col(langCol).as("lang"),
+      col(contentCol).as("content"))
+      .as[(Int, String, String, String, String, String)]
+      .map { case (id, repo, path, commit, lang, content) =>
+        IndexedFile(id, repo, path, commit, lang, content, Sha.hex(content))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buildIndexed(spark, indexed, indexDir, cfg)
+    indexed.unpersist()
+  }
+
+  def buildIndexed(spark: SparkSession, indexed: Dataset[IndexedFile],
+                   indexDir: String, cfg: IndexConfig): Unit = {
+    import spark.implicits._
 
     // ---- stage: docs (doc store + per-row sha256 invariant + doclen) --
     Lineage.stage(spark, indexDir, "docs") {
@@ -157,8 +189,27 @@ object IndexBuild {
       }
     }
 
+    // ---- optional stage per bucket: word positions --------------------
+    if (cfg.positions) {
+      val tb = cfg.termBuckets
+      val posDs = indexed.flatMap { f =>
+        Tokenizer.tokenize(f.content).groupBy(_.term).iterator.map {
+          case (term, toks) =>
+            (term, f.docId, toks.map(_.pos).toArray, bucketOf(term, tb))
+        }
+      }.toDF("term", "docId", "positions", "bucket")
+      (0 until cfg.termBuckets).foreach { b =>
+        Lineage.stage(spark, indexDir, s"positions_bucket_$b") {
+          posDs.filter($"bucket" === b).drop("bucket")
+            .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+            .sortWithinPartitions($"term", $"docId")
+            .write.mode("overwrite").parquet(s"$indexDir/positions/bucket=$b")
+          Nil
+        }
+      }
+    }
+
     termDocs.unpersist()
-    indexed.unpersist()
   }
 
   /** Streaming block encoder: input sorted by (term, shard, docId) within
@@ -183,8 +234,9 @@ object IndexBuild {
           out = docIds.grouped(blockSize).zip(tfs.grouped(blockSize))
             .zipWithIndex.map { case ((ds, ts), bid) =>
               val da = ds.toArray; val ta = ts.toArray
+              val db = VByte.encodeDeltas(da); val tb = VByte.encode(ta)
               PostingBlock(term, shard, bid, da.head, da.last, da.length,
-                VByte.encodeDeltas(da), VByte.encode(ta), ta.max)
+                db, tb, ta.max, db.length + tb.length)
             }
         }
         out.next()
@@ -211,16 +263,20 @@ object IndexBuild {
   }
 
   /** Per-shard lineage for a committed posting bucket: docid range,
-    * posting count, encoded bytes, sha256 of the block content digest. */
+    * posting count, encoded bytes, manifest sha256. Reads only the
+    * small metadata columns (encBytes, not the blobs) — the lineage
+    * pass is a column-pruned scan, cheap even at segment scale. */
   private def postingLineage(spark: SparkSession, dir: String,
                              stage: String): Seq[LineageRow] = {
     import spark.implicits._
     val df = spark.read.parquet(dir)
+      .select($"shard", $"term", $"firstDoc", $"lastDoc", $"count", $"encBytes")
     df.groupBy($"shard").agg(
       min($"firstDoc").as("lo"), max($"lastDoc").as("hi"),
       sum($"count").as("n"),
-      sum(length($"docBytes") + length($"tfBytes")).as("bytes"),
-      sha2(concat_ws(",", sort_array(collect_list(sha2($"docBytes", 256)))), 256)
+      sum($"encBytes").as("bytes"),
+      sha2(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", $"term", $"firstDoc", $"lastDoc", $"count")))), 256)
         .as("sha"))
       .collect().map { r =>
         LineageRow(stage, r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),

@@ -36,7 +36,10 @@ final case class PostingBlock(
     count: Int,
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
-    blockMaxTf: Int)
+    blockMaxTf: Int,
+    /** encoded size (docBytes + tfBytes): lets lineage/metrics scans
+      * prune the blob columns entirely */
+    encBytes: Int)
 
 /** Dictionary row (broadcast at query time). */
 final case class DictEntry(term: String, termId: Long, df: Long, cf: Long)

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash(+LSH), SimHash. All built from
+  * codegen'd built-in functions (md5 / array ops / hash-joins) — no
+  * Scala UDFs — so every op stays inside whole-stage codegen and the
+  * expensive steps (pair generation) are plain shuffles Catalyst can
+  * plan. Determinism: md5 hex strings are the hash domain, so results
+  * are identical across JVMs, partitionings, and external oracles.
+  */
+object Dedup {
+
+  /** Tokenize via the SQL-portable simple split (lowercase, split on
+    * non-alphanumeric runs, drop empties) — the shared spec between the
+    * Spark ops and the DuckDB oracles (see Tokenizer.simpleTerms). */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Exact duplicate groups by content hash. Scales: one hash-shuffle,
+    * map-side combinable. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.where(size(toks) >= n)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Pairwise n-gram Jaccard similarity >= minJ. Candidate pairs come
+    * from the shingle-inverted self-join (only docs sharing >=1 shingle
+    * meet) — the scalable alternative to an O(N^2) cross join. Exact.
+    * Known 100TB hazard: ubiquitous shingles blow up the self-join;
+    * there, cap shingle df (approximate) or route hot shingles through
+    * [[minhashLshPairs]] — kept uncapped here because the correctness
+    * oracle is exact Jaccard. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = sh.withColumnRenamed("id", "a")
+    val b = sh.withColumnRenamed("id", "b")
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), Seq("b"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .withColumn("jacc", round(col("inter") / col("uni"), 6))
+      .where(col("jacc") >= minJ)
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jacc"))
+  }
+
+  /** MinHash signatures: mh_j = min over shingles of md5(j || ':' ||
+    * shingle). String-min over md5 hex = a deterministic, portable
+    * universal hash family (MinHash per Broder '97). One aggregation. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band hash = md5(concat of r consecutive
+    * minhashes); docs sharing any band bucket are candidates
+    * (banding per Leskovec/Rajaraman/Ullman MMDS ch.3). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rows: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, bands * rows)
+    val bandCols = (0 until bands).map { bnd =>
+      val parts = (0 until rows).map(r => col(s"mh${bnd * rows + r}"))
+      struct(lit(bnd).as("band"), md5(concat_ws("|", parts: _*)).as("bh"))
+    }
+    val buckets = sig.select(col("id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val l = buckets.withColumnRenamed("id", "a")
+    val r = buckets.withColumnRenamed("id", "b")
+    l.join(r, Seq("band", "bh"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** 16-bit SimHash: bit j votes by md5(term) hex digit j (high nibble
+    * bit), weighted by term frequency (Charikar '02, reduced width so
+    * the external oracle stays expressible). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("term")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+}

@@ -139,6 +139,126 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Universe of docids matching the query (no ranking): the
+    * "resolve_universe" step of the reference (search/new/mod.rs:781). */
+  def candidates(q: String, conjunctive: Boolean = true): DataFrame = {
+    val terms = analyze(q)
+    if (terms.isEmpty) return spark.range(0).select($"id".cast("int").as("docId"))
+    val agg = decoded(terms).toDF().groupBy($"docId")
+      .agg(count(lit(1)).as("nMatched"))
+    val f = if (conjunctive) agg.filter($"nMatched" === terms.size) else agg
+    f.select($"docId")
+  }
+
+  /** Facet distribution: value -> doc count over the query's candidates
+    * (reference facet_distribution.rs:332 execute; max_values_per_facet
+    * default 100, facet/mod.rs:26). */
+  def facetDistribution(q: String, facetCol: String, maxValues: Int = 100): DataFrame =
+    docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(facetCol).asc)
+      .limit(maxValues)
+
+  /** Facet stats: numeric min/max over candidates (reference
+    * facet_distribution.rs facet_stats). */
+  def facetStats(q: String, numCol: Column, alias: String): DataFrame =
+    docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+      .agg(min(numCol).as(s"min_$alias"), max(numCol).as(s"max_$alias"),
+        count(lit(1)).as("n"))
+
+  /** Positions rows for the given terms (bucket-pruned scan of the
+    * positions table). */
+  def positionsFor(terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(IndexBuild.bucketOf(_, termBuckets)).distinct
+    spark.read.parquet(s"$indexDir/positions")
+      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+  }
+
+  /** Docs where the words occur as a consecutive phrase (reference
+    * compute_phrase_docids, resolve_query_graph.rs:187-268 — word bitmap
+    * intersection + adjacency; here: position joins). */
+  def phrase(words: Seq[String]): DataFrame = {
+    require(words.nonEmpty)
+    val ws = words.map(Tokenizer.normalize)
+    val exploded = ws.zipWithIndex.map { case (w, i) =>
+      positionsFor(Seq(w)).filter($"term" === w)
+        .select($"docId", explode($"positions").as("p"))
+        .select($"docId", ($"p" - i).as("p0"))
+    }
+    // doc has the phrase iff some start position p0 appears in every list
+    exploded.reduce((a, b) => a.join(b, Seq("docId", "p0"), "left_semi"))
+      .select($"docId").distinct()
+  }
+
+  /** Per-doc proximity between two words: the reference's asymmetric
+    * distance (proximity.rs:7-15): if p2>p1 -> p2-p1 else p1-p2+1,
+    * capped at 7 index-side (extract_word_pair_proximity_docids.rs:17). */
+  def proximity(w1: String, w2: String, cap: Int = 7): DataFrame = {
+    val a = positionsFor(Seq(Tokenizer.normalize(w1)))
+      .filter($"term" === Tokenizer.normalize(w1))
+      .select($"docId", explode($"positions").as("p1"))
+    val b = positionsFor(Seq(Tokenizer.normalize(w2)))
+      .filter($"term" === Tokenizer.normalize(w2))
+      .select($"docId", explode($"positions").as("p2"))
+    a.join(b, Seq("docId"))
+      .withColumn("d", when($"p2" > $"p1", $"p2" - $"p1").otherwise($"p1" - $"p2" + 1))
+      .groupBy($"docId")
+      .agg(least(min($"d"), lit(cap)).as("prox"))
+  }
+
+  /** Docs matching `q` (AND) that do NOT contain `negTerm` (reference
+    * negative terms, search/new/mod.rs:268-295: subtract from universe). */
+  def negative(q: String, negTerm: String): DataFrame = {
+    val neg = analyze(negTerm)
+    val negDocs = if (neg.isEmpty) spark.range(0).select($"id".cast("int").as("docId"))
+      else decoded(neg).toDF().select($"docId").distinct()
+    candidates(q).join(negDocs, Seq("docId"), "left_anti")
+  }
+
+  /** Prefix expansion: all dictionary terms starting with `prefix`
+    * (reference on-the-fly word-range scan, compute_derivations.rs:45-78),
+    * and their union of docs with per-doc count of matched derivations. */
+  def prefixTerms(prefix: String): Seq[String] = {
+    val p = Tokenizer.normalize(prefix)
+    // binary search the sorted broadcast dictionary for the prefix range
+    val arr = sortedTerms
+    var lo = java.util.Arrays.binarySearch(arr.asInstanceOf[Array[AnyRef]], p)
+    if (lo < 0) lo = -lo - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = lo
+    while (i < arr.length && arr(i).startsWith(p)) { out += arr(i); i += 1 }
+    out.toSeq
+  }
+
+  def prefixSearch(prefix: String): DataFrame = {
+    val ts = prefixTerms(prefix).map(t =>
+      QueryTerm(t, dict(t), BM25.idf(dict(t), nDocs), IndexBuild.bucketOf(t, termBuckets)))
+    if (ts.isEmpty) return spark.range(0)
+      .select($"id".cast("int").as("docId"), lit(0L).as("nTerms"))
+    decoded(ts).toDF().groupBy($"docId")
+      .agg(countDistinct($"term").as("nTerms"))
+  }
+
+  /** Typo expansion: dictionary terms within `maxDist` edits (reference
+    * Levenshtein-DFA ∩ words-FST, compute_derivations.rs:80-165; here a
+    * banded DP over the broadcast dictionary — same result set). */
+  def typoTerms(word: String, maxDist: Int): Seq[String] = {
+    val w = Tokenizer.normalize(word)
+    sortedTerms.iterator
+      .filter(t => math.abs(t.length - w.length) <= maxDist)
+      .filter(t => Levenshtein(w, t) <= maxDist)
+      .toSeq
+  }
+
+  def typoSearch(word: String, maxDist: Int): DataFrame = {
+    val ts = typoTerms(word, maxDist).map(t =>
+      QueryTerm(t, dict(t), BM25.idf(dict(t), nDocs), IndexBuild.bucketOf(t, termBuckets)))
+    if (ts.isEmpty) return spark.range(0)
+      .select($"id".cast("int").as("docId"), lit(0L).as("nTerms"))
+    decoded(ts).toDF().groupBy($"docId")
+      .agg(countDistinct($"term").as("nTerms"))
+  }
+
   /** Top-k + document materialization (reference make_hits). */
   def searchHits(q: String, k: Int, filter: Option[String] = None,
                  conjunctive: Boolean = true): DataFrame = {

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming-shaped operators over the `events` table. The reference
+  * has no stream engine (its incremental path is task batches,
+  * index-scheduler); these model the U1 "del/add delta" semantics the
+  * Spark way: the same aggregation runs as a batch DataFrame (used by
+  * the DuckDB oracle) and as a Structured Streaming query with
+  * watermarking (tested via a file stream in the spec).
+  */
+object Events {
+
+  /** Tumbling-window counts per event type — batch form. Window start
+    * aligns to the epoch hour, matching date_trunc('hour', ts). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"))
+
+  /** The same aggregation as a Structured Streaming query reading
+    * parquet files as a stream; results land in an in-memory table. */
+  def hourlyCountsStream(spark: SparkSession, dir: String,
+                         queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      // parquet naive timestamps infer as TIMESTAMP_NTZ; event-time
+      // watermarks require TIMESTAMP (session tz = UTC)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    hourlyCounts(stream.withWatermark("ts", "2 hours"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Ops cross-checked against independent plain-Scala recomputation on
+  * the driver testdata (the DuckDB oracle equivalents run driver-side;
+  * these specs keep the invariants testable offline). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  lazy val texts: Map[Long, String] = docs.select("doc_id", "text")
+    .as[(Long, String)].collect().toMap
+
+  def simpleToks(t: String): Seq[String] =
+    t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+  def shingleSet(t: String, n: Int): Set[String] =
+    simpleToks(t).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+
+  test("jaccardPairs matches naive pairwise jaccard") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sh = texts.map { case (id, t) => id -> shingleSet(t, 3) }
+    val ids = texts.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      a = ids(i); b = ids(j)
+      inter = (sh(a) & sh(b)).size if inter > 0
+      uni = (sh(a) | sh(b)).size
+      jac = BigDecimal(inter.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.2
+    } yield (a, b) -> jac).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"$k") }
+  }
+
+  test("minhash signatures match scala recompute") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 4)
+      .as[(Long, String, String, String, String)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    texts.foreach { case (id, t) =>
+      val sh = shingleSet(t, 3)
+      if (sh.nonEmpty) {
+        val want = (0 until 4).map(j => sh.map(s => md5hex(s"$j:$s")).min)
+        assert(got(id) == want, s"doc $id")
+      } else assert(!got.contains(id))
+    }
+  }
+
+  test("lsh pairs are a subset of all pairs and include identical docs") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 2)
+      .as[(Long, Long)].collect().toSet
+    // identical shingle sets must collide in every band
+    val sh = texts.map { case (id, t) => id -> shingleSet(t, 3) }
+    val dupPairs = for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a < b && sa.nonEmpty && sa == sb
+    } yield (a, b)
+    dupPairs.foreach(p => assert(lsh.contains(p), s"identical pair $p missing"))
+    lsh.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("simhash16 matches scala recompute") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      val tf = simpleToks(t).groupBy(identity).map { case (k, v) => k -> v.size }
+      val sim = (0 until 16).map { j =>
+        val s = tf.map { case (term, f) =>
+          if ("89abcdef".contains(md5hex(term).charAt(j))) f else -f
+        }.sum
+        if (s >= 0) 1L << j else 0L
+      }.sum
+      assert(got(id) == sim, s"doc $id")
+    }
+  }
+
+  test("cosineTopK matches scala recompute and ranks self first") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val q = vecs(0L)
+    def fx(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    def dotFx(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) => fx(x.toDouble * y.toDouble) }.sum
+    val want = vecs.toSeq.map { case (id, v) =>
+      val s = dotFx(v, q) / math.sqrt((dotFx(v, v) * dotFx(q, q)).toDouble)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 0L && math.abs(got.head._2 - 1.0) < 1e-6)
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("lshTopK returns query itself and only true-cosine-ordered results") {
+    val got = Similarity.lshTopK(spark, emb, "vec_id", "embedding", 0L, 10, nPlanes = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 0L)
+    assert(got.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+  }
+
+  test("exact dedup groups: every doc accounted once") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(got.agg(sum("n")).as[Long].head() == docs.count())
+  }
+
+  test("quality metrics match scala recompute on a sample") {
+    val got = TextMetrics.quality(docs, "doc_id", "text")
+      .where(col("id") < 5).collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 5L).foreach { id =>
+      val toks = simpleToks(texts(id))
+      val r = got(id)
+      assert(r.getAs[Int]("n_tokens") == toks.size)
+      assert(r.getAs[Int]("n_distinct") == toks.distinct.size)
+      val stop = toks.count(TextMetrics.StopWords.contains)
+      assert(math.abs(r.getAs[Double]("stopword_ratio") - stop.toDouble / toks.size) < 1e-6)
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and schema-typed") {
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(spark, assets).collect().sortBy(_.assetId)
+    val f2 = Multimodal.extractFeatures(spark, assets.repartition(7))
+      .collect().sortBy(_.assetId)
+    assert(f1.toSeq == f2.toSeq, "features must not depend on partitioning")
+    assert(f1.forall(_.byteLen > 0))
+    assert(f1.count(_.kind == "video") > 0)
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.extractFeatures(spark, assets), 4)
+    assert(frames.count() > 0)
+  }
+}
