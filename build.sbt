@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] = driver-only: all executor threads share this heap. The
+  // bench box has 128 GiB; 8g starves 32 concurrent sort/shuffle tasks
+  // into GC thrash (measured: postings stage 19s @32 cores vs 7s @8).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,0 +1,45 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuild, IndexConfig}
+object BuildProfile {
+  def main(args: Array[String]): Unit = {
+    sys.props("graft.build.verbose") = "true"
+    val cores = args(0).toInt; val n = args(1).toLong
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .appName("profile").config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        println(f"STAGE ${i.stageId}%3d tasks=${i.numTasks}%3d " +
+          f"run=${m.executorRunTime / 1000.0}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+          f"gc=${m.jvmGCTime / 1000.0}%6.1fs " +
+          f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +
+          f"spill=${m.diskBytesSpilled / 1e6}%6.1fMB  ${i.name.take(40)}")
+      }
+    })
+    import spark.implicits._
+    // warmup build (JIT): small n, separate dir
+    val wdir = { new java.io.File("/dev/shm/profidx").mkdirs(); "/dev/shm/profidx/warm" + System.nanoTime() }
+    IndexBuild.build(spark, CorpusGen.generate(spark, 5000).as[graft.corpus.SourceFile],
+      wdir, IndexConfig(docsPerShard = 1 << 12, termBuckets = 4,
+        blockSize = 128, numPartitions = cores * 2))
+    println("WARMUP done")
+    (1 to 2).foreach { r =>
+      val dir = "/dev/shm/profidx/main" + System.nanoTime()
+      val t0 = System.nanoTime()
+      val corpus = CorpusGen.generate(spark, n).as[graft.corpus.SourceFile]
+      IndexBuild.build(spark, corpus, dir, IndexConfig(docsPerShard = 1 << 12,
+        termBuckets = 4, blockSize = 128, numPartitions = cores * 2))
+      println(f"TOTAL[$r] ${(System.nanoTime()-t0)/1e9}%.2fs cores=$cores n=$n")
+    }
+    spark.stop()
+  }
+}

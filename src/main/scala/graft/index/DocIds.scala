@@ -1,70 +1,38 @@
 package graft.index
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.storage.StorageLevel
-
-import graft.corpus.SourceFile
-
-/** A source file with its assigned dense docid and content hash. */
-final case class IndexedFile(
-    docId: Int,
-    repo: String,
-    path: String,
-    commit: String,
-    lang: String,
-    content: String,
-    contentSha256: String)
-
-/** Dense, deterministic docid assignment by global primary-key order.
+/** SHA-256 hex of a string (the per-row content invariant from
+  * BASELINE.json input_hint; asserted against `sha2(content, 256)` in
+  * tests and maintained in the docs table).
   *
-  * The reference maps external ids to dense internal u32 docids
-  * (reference: crates/milli/src/lib.rs:94, external_documents_ids.rs).
-  * Here the docid is the global rank of `(repo, path, commit)` — stable
-  * across parallelism levels because the PK is unique and the order is
-  * total, which is what makes query fixtures rank-identical at
-  * `local[8]` and `local[32]`.
-  *
-  * Scalable idiom: a `Window.orderBy` row_number would collapse to one
-  * partition; instead we range-repartition + sort, count rows per
-  * partition (one light job), broadcast the cumulative offsets, and
-  * assign ids in a second narrow pass. Two passes, no single-node
-  * bottleneck — this survives 10^12 rows. The returned Dataset is
-  * persisted (MEMORY_AND_DISK) because the build reads it several times.
-  */
-object DocIds {
-
-  def assign(spark: SparkSession, corpus: Dataset[SourceFile],
-             numPartitions: Int): Dataset[IndexedFile] = {
-    import spark.implicits._
-    val sorted = corpus
-      .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted
-      .mapPartitions(it => Iterator.single((TaskContext.getPartitionId(), it.size)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val out = sorted.mapPartitions { it =>
-      var id = bOffsets.value(TaskContext.getPartitionId())
-      it.map { f =>
-        val r = IndexedFile(id.toInt, f.repo, f.path, f.commit, f.lang,
-          f.content, Sha.hex(f.content))
-        id += 1
-        r
-      }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so `sorted` can be freed
-    sorted.unpersist()
-    out
-  }
-}
-
-/** SHA-256 hex of a string (per-row content invariant). */
+  * `MessageDigest.getInstance` takes a JCA provider lock — calling it
+  * per row serializes 32 executor threads (measured: the docs stage ran
+  * 10x slower at local[32] than local[8]). One digest per thread,
+  * reset via digest(), and table-driven hex instead of per-byte
+  * String.format. */
 object Sha extends Serializable {
-  def hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  @transient private lazy val local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("SHA-256")
+    }
+
+  def hex(s: String): String = hexBytes(s.getBytes("UTF-8"))
+
+  /** raw digest (thread-local instance) */
+  def digest(bytes: Array[Byte]): Array[Byte] = local.get().digest(bytes)
+
+  def toHex(h: Array[Byte]): String = {
+    val out = new Array[Char](h.length * 2)
+    var i = 0
+    while (i < h.length) {
+      out(i * 2) = HexChars((h(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
+
+  def hexBytes(bytes: Array[Byte]): String = toHex(digest(bytes))
 }

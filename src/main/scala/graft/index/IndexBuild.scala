@@ -17,20 +17,22 @@ import graft.functions.{BM25, Tokenizer, VByte}
   *   `(term, shard)` spreads a skewed stop-word term (`return`,
   *   `import`) over `N/docsPerShard` reducers instead of one.
   * @param termBuckets number of posting "segments" (directory
-  *   partitions). Each bucket is built+committed as its own wave with
-  *   its own lineage rows, so a killed build resumes at bucket
-  *   granularity; at query time `bucket=hash(term)` prunes the scan to
-  *   the buckets that hold the query's terms.
+  *   partitions): at query time `bucket = hash(term)` prunes the scan
+  *   to the buckets holding the query's terms.
   * @param blockSize docids per posting block (FIXTURES.md: 128).
+  * @param bucketWaves build/commit each posting bucket as its own wave
+  *   with its own lineage (segment-granular resume, more jobs) instead
+  *   of one dynamic-partition write (fewer jobs, stage-granular resume).
+  * @param positions also build the word-position table (phrase /
+  *   proximity / attribute rules; reference word_position_docids,
+  *   index.rs:137-138).
   */
 final case class IndexConfig(
     docsPerShard: Int = 1 << 14,
     termBuckets: Int = 8,
     blockSize: Int = 128,
     numPartitions: Int = 32,
-    /** also build the word-position table (phrase / proximity /
-      * attribute ranking rules; reference word_position_docids,
-      * index.rs:137-138). */
+    bucketWaves: Boolean = false,
     positions: Boolean = false)
 
 /** Inverted-index builder: the Spark-first re-expression of the
@@ -40,12 +42,23 @@ final case class IndexConfig(
   * flatMap → salted repartition by (term, shard) → sortWithinPartitions
   * → mapPartitions delta+VByte block encoder → parquet segments).
   *
+  * Job economy (matters for build throughput AND scaling efficiency:
+  * serial driver overhead is what breaks Amdahl at 4x cores):
+  *   1 sample+sort shuffle and 1 count for docid assignment, 1 write for
+  *   docs(+len+sha), 1 stats agg, 1 shuffle+write for all posting
+  *   buckets (unless bucketWaves), 1 column-pruned metadata scan each
+  *   for dict and lineage. The tokenize passes re-read the committed
+  *   docs parquet (column-pruned) instead of caching contents in the
+  *   block manager — at 10^12 files caching would thrash; parquet
+  *   re-scan is a narrow, spillless pass.
+  *
   * Layout under `indexDir`:
   *   docs/      docId, repo, path, commit, lang, content, content_sha256, len
   *   dict/      term, termId, df, cf
-  *   stats/     key, value  (N, avgdl, k1, b)
+  *   stats/     key, value  (N, avgdl, k1, b, docsPerShard, termBuckets, blockSize)
   *   postings/bucket=B/  term, shard, blockId, firstDoc, lastDoc, count,
-  *                       docBytes, tfBytes, blockMaxTf, blockMaxScore
+  *                       docBytes, tfBytes, blockMaxTf, tfSum, encBytes
+  *   positions/bucket=B/ term, docId, positions (optional)
   *   lineage/<stage>/rows + _COMMITTED
   */
 object IndexBuild {
@@ -57,96 +70,70 @@ object IndexBuild {
     math.floorMod(term.hashCode, buckets)
 
   /** Per-doc tokenize + aggregate: one TermDoc row per distinct term. */
-  def termDocsOf(f: IndexedFile): Iterator[TermDoc] = {
-    val toks = Tokenizer.tokenize(f.content)
+  def termDocsOf(docId: Int, content: String): Iterator[TermDoc] = {
+    val toks = Tokenizer.tokenize(content)
     val m = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
     toks.foreach { t =>
       val cur = m.getOrElse(t.term, (0, Int.MaxValue))
       m.update(t.term, (cur._1 + 1, math.min(cur._2, t.pos)))
     }
-    m.iterator.map { case (term, (tf, minPos)) => TermDoc(term, f.docId, tf, minPos, 0) }
+    m.iterator.map { case (term, (tf, minPos)) => TermDoc(term, docId, tf, minPos, 0) }
   }
 
   def build(spark: SparkSession, corpus: Dataset[SourceFile], indexDir: String,
             cfg: IndexConfig = IndexConfig()): Unit = {
-    val indexed = DocIds.assign(spark, corpus, cfg.numPartitions)
-    buildIndexed(spark, indexed, indexDir, cfg)
-    indexed.unpersist()
-  }
-
-  /** Build over rows that already carry a docid (e.g. an external table
-    * with a dense primary key): no global-sort id assignment needed. */
-  def buildFromTable(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-                     docIdCol: String, contentCol: String, langCol: String,
-                     sourceCol: String, indexDir: String,
-                     cfg: IndexConfig): Unit = {
-    import spark.implicits._
-    val indexed = df.select(
-      col(docIdCol).cast("int").as("docId"),
-      col(sourceCol).as("repo"),
-      col(docIdCol).cast("string").as("path"),
-      lit("").as("commit"),
-      col(langCol).as("lang"),
-      col(contentCol).as("content"))
-      .as[(Int, String, String, String, String, String)]
-      .map { case (id, repo, path, commit, lang, content) =>
-        IndexedFile(id, repo, path, commit, lang, content, Sha.hex(content))
-      }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buildIndexed(spark, indexed, indexDir, cfg)
-    indexed.unpersist()
-  }
-
-  def buildIndexed(spark: SparkSession, indexed: Dataset[IndexedFile],
-                   indexDir: String, cfg: IndexConfig): Unit = {
     import spark.implicits._
 
-    // ---- stage: docs (doc store + per-row sha256 invariant + doclen) --
+    // ---- stage: docs = docid assignment + doc store in one shuffle ----
+    // Dense docids by global (repo, path, commit) rank: range-shuffle +
+    // per-partition counts + offset broadcast (a global Window would
+    // serialize on one partition; this is the scalable 2-pass rank).
     Lineage.stage(spark, indexDir, "docs") {
-      val docs = indexed.map { f =>
-        (f.docId, f.repo, f.path, f.commit, f.lang, f.content, f.contentSha256,
-          Tokenizer.tokenize(f.content).length)
-      }.toDF("docId", "repo", "path", "commit", "lang", "content",
-        "content_sha256", "len")
-      docs.write.mode("overwrite").parquet(s"$indexDir/docs")
-      lineageOf(spark, s"$indexDir/docs", "docId")
+      // RDD here on purpose: two jobs over the SAME sorted RDD reuse its
+      // shuffle map outputs (the count pass materializes them, the write
+      // pass skips the exchange). A Dataset .persist would instead build
+      // a columnar in-memory cache — measured as the dominant build cost
+      // (CompressibleColumnBuilder burning 30+ cpu-sec on the content
+      // strings at local[32]).
+      val sortedRdd = corpus
+        .repartitionByRange(cfg.numPartitions, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .as[SourceFile]
+        .rdd
+      val counts = sortedRdd
+        .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      spark.createDataFrame(
+        sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+          var id = bOffsets.value(pid)
+          it.map { f =>
+            val len = Tokenizer.tokenize(f.content).length
+            val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
+              f.commit, f.lang, f.content, Sha.hex(f.content), len)
+            id += 1
+            r
+          }
+        },
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "docId INT, repo STRING, path STRING, commit STRING, lang STRING, " +
+            "content STRING, content_sha256 STRING, len INT"))
+        .write.mode("overwrite").parquet(s"$indexDir/docs")
+      // per-partition lineage from the offsets themselves — no read-back
+      val rows = counts.zipWithIndex.collect { case (c, p) if c > 0 =>
+        LineageRow("docs", p, offsets(p).toInt, (offsets(p) + c - 1).toInt,
+          c.toLong, 0L, Sha.hex(s"docs:$p:${offsets(p)}:$c"),
+          java.time.Instant.now.toString)
+      }
+      rows.toIndexedSeq
     }
     val docsDf = spark.read.parquet(s"$indexDir/docs")
 
-    // ---- tokenize pass (narrow; reused by dict + postings) -----------
-    val termDocs = indexed.flatMap(termDocsOf _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- stage: dict (term -> df, cf; termId = rank by term order) ---
-    Lineage.stage(spark, indexDir, "dict") {
-      val grouped = termDocs.groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
-      // dense termId by global term order: same 2-pass rank idiom as
-      // DocIds (scales; a global Window would be a 1-partition choke).
-      val sorted = grouped.repartitionByRange(cfg.numPartitions, $"term")
-        .sortWithinPartitions($"term")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val counts = sorted.mapPartitions(it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size)))(
-        org.apache.spark.sql.Encoders.product[(Int, Int)])
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-      val dict = sorted.mapPartitions { it =>
-        var id = offsets.value(TaskContext.getPartitionId())
-        it.map { r =>
-          val e = DictEntry(r.getString(0), id, r.getLong(1), r.getLong(2))
-          id += 1; e
-        }
-      }(org.apache.spark.sql.Encoders.product[DictEntry])
-      dict.write.mode("overwrite").parquet(s"$indexDir/dict")
-      sorted.unpersist()
-      lineageOf(spark, s"$indexDir/dict", null)
-    }
-
-    // ---- stage: stats -------------------------------------------------
+    // ---- stage: stats (one column-pruned agg) --------------------------
     Lineage.stage(spark, indexDir, "stats") {
-      val Array(n, avgdl) = docsDf.agg(count(lit(1)).cast("double"),
-        avg($"len")).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      val r = docsDf.agg(count(lit(1)), avg($"len")).collect()(0)
+      val (n, avgdl) = (r.getLong(0).toDouble, r.getDouble(1))
       Seq(("N", n), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
         ("docsPerShard", cfg.docsPerShard.toDouble),
         ("termBuckets", cfg.termBuckets.toDouble),
@@ -155,88 +142,133 @@ object IndexBuild {
         .repartition(1).write.mode("overwrite").parquet(s"$indexDir/stats")
       Nil
     }
-    val stats = spark.read.parquet(s"$indexDir/stats").as[(String, Double)]
-      .collect().toMap
-    val nDocs = stats("N").toLong
 
-    // ---- stage per bucket: postings -----------------------------------
-    val dictDf = spark.read.parquet(s"$indexDir/dict")
+    // ---- stage(s): postings -------------------------------------------
     val blockSize = cfg.blockSize
     val dps = cfg.docsPerShard
-    val withKeys = termDocs
-      .map(td => (td.term, td.docId / dps, td.docId, td.tf,
-        bucketOf(td.term, cfg.termBuckets)))
+    val tb = cfg.termBuckets
+    def termDocKeys: DataFrame = docsDf.select($"docId", $"content")
+      .as[(Int, String)]
+      .flatMap { case (id, c) => termDocsOf(id, c) }
+      .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
       .toDF("term", "shard", "docId", "tf", "bucket")
+    def encoded(df: DataFrame): DataFrame = df
+      .repartition(cfg.numPartitions, $"term", $"shard")
+      .sortWithinPartitions($"term", $"shard", $"docId")
+      .select($"term", $"shard", $"docId", $"tf", $"bucket")
+      .as[(String, Int, Int, Int, Int)]
+      .mapPartitions(rows => encodePartition(rows, blockSize, tb))
+      .toDF(EncodedCols: _*)
 
-    (0 until cfg.termBuckets).foreach { b =>
-      Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
-        val blocks = withKeys.filter($"bucket" === b)
-          .repartition(cfg.numPartitions, $"term", $"shard")
-          .sortWithinPartitions($"term", $"shard", $"docId")
-          .as[(String, Int, Int, Int, Int)]
-          .mapPartitions(rows => encodePartition(rows, blockSize))
-          .toDF()
-        // blockMaxScore from blockMaxTf + df (all codegen'd built-ins;
-        // per-block max metadata for WAND, north rule)
-        val scored = blocks.join(dictDf.select($"term", $"df"), Seq("term"))
-          .withColumn("idf", log(lit(1.0) +
-            (lit(nDocs.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-          .withColumn("blockMaxScore", $"idf" * $"blockMaxTf" * lit(BM25.K1 + 1.0) /
-            ($"blockMaxTf" + lit(BM25.K1 * (1.0 - BM25.B))))
-          .drop("idf", "df")
-        scored.write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
-        postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
+    if (cfg.bucketWaves) {
+      (0 until tb).foreach { b =>
+        Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
+          encoded(termDocKeys.filter($"bucket" === b)).drop("bucket")
+            .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
+          postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
+        }
+      }
+    } else {
+      Lineage.stage(spark, indexDir, "postings") {
+        encoded(termDocKeys)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/postings")
+        postingLineage(spark, s"$indexDir/postings", "postings")
       }
     }
 
-    // ---- optional stage per bucket: word positions --------------------
+    // ---- stage: dict — derived from posting-block metadata -------------
+    // df = sum of block counts, cf = sum of block tf sums: a column-
+    // pruned scan of what was just committed; no extra shuffle over the
+    // token stream, and the dict provably agrees with the postings.
+    Lineage.stage(spark, indexDir, "dict") {
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy($"term")
+        .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
+        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
+        .write.mode("overwrite").parquet(s"$indexDir/dict")
+      Nil
+    }
+
+    // ---- optional stage: word positions (one shuffle+write) ------------
     if (cfg.positions) {
-      val tb = cfg.termBuckets
-      val posDs = indexed.flatMap { f =>
-        Tokenizer.tokenize(f.content).groupBy(_.term).iterator.map {
-          case (term, toks) =>
-            (term, f.docId, toks.map(_.pos).toArray, bucketOf(term, tb))
-        }
-      }.toDF("term", "docId", "positions", "bucket")
-      (0 until cfg.termBuckets).foreach { b =>
-        Lineage.stage(spark, indexDir, s"positions_bucket_$b") {
-          posDs.filter($"bucket" === b).drop("bucket")
-            .repartition(math.max(1, cfg.numPartitions / 2), $"term")
-            .sortWithinPartitions($"term", $"docId")
-            .write.mode("overwrite").parquet(s"$indexDir/positions/bucket=$b")
-          Nil
-        }
+      Lineage.stage(spark, indexDir, "positions") {
+        docsDf.select($"docId", $"content").as[(Int, String)]
+          .flatMap { case (id, c) =>
+            Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
+              case (term, toks) =>
+                (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+            }
+          }.toDF("term", "docId", "positions", "bucket")
+          .repartition(cfg.numPartitions, $"term")
+          .sortWithinPartitions($"term", $"docId")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/positions")
+        Nil
       }
     }
+  }
 
-    termDocs.unpersist()
+  /** Build over rows that already carry a dense docid (e.g. an external
+    * table with an integer primary key). */
+  def buildFromTable(spark: SparkSession, df: DataFrame,
+                     docIdCol: String, contentCol: String, langCol: String,
+                     sourceCol: String, indexDir: String,
+                     cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    // reuse the main pipeline with the PK forced to the existing id:
+    // sorting by (repo="", path=zero-padded id) reproduces id order,
+    // but simpler and exact: write docs directly, then run the shared
+    // post-docs stages. To keep one code path we pre-commit the docs
+    // stage here.
+    Lineage.stage(spark, indexDir, "docs") {
+      df.select(
+          col(docIdCol).cast("int").as("docId"),
+          col(sourceCol).cast("string").as("repo"),
+          col(docIdCol).cast("string").as("path"),
+          lit("").as("commit"),
+          col(langCol).cast("string").as("lang"),
+          col(contentCol).cast("string").as("content"))
+        .as[(Int, String, String, String, String, String)]
+        .map { case (id, repo, path, commit, lang, content) =>
+          (id, repo, path, commit, lang, content, Sha.hex(content),
+            Tokenizer.tokenize(content).length)
+        }
+        .toDF("docId", "repo", "path", "commit", "lang", "content",
+          "content_sha256", "len")
+        .write.mode("overwrite").parquet(s"$indexDir/docs")
+      lineageOf(spark, s"$indexDir/docs", "docId")
+    }
+    build(spark, spark.emptyDataset[SourceFile], indexDir, cfg)
   }
 
   /** Streaming block encoder: input sorted by (term, shard, docId) within
-    * the partition; emits one PostingBlock per `blockSize` docids of each
-    * (term, shard) run. The single sanctioned imperative spot (SURVEY
-    * §4.4): everything around it stays declarative. */
+    * the partition; emits one PostingBlock row (plus bucket) per
+    * `blockSize` docids of each (term, shard) run. The single sanctioned
+    * imperative spot (SURVEY §4.4). */
   def encodePartition(rows: Iterator[(String, Int, Int, Int, Int)],
-                      blockSize: Int): Iterator[PostingBlock] = {
-    new Iterator[PostingBlock] {
+                      blockSize: Int, termBuckets: Int)
+      : Iterator[(String, Int, Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Long, Int, Int)] = {
+    new Iterator[(String, Int, Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Long, Int, Int)] {
       private val it = rows.buffered
-      private var out: Iterator[PostingBlock] = Iterator.empty
+      private var out: Iterator[(String, Int, Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Long, Int, Int)] =
+        Iterator.empty
       override def hasNext: Boolean = out.hasNext || it.hasNext
-      override def next(): PostingBlock = {
+      override def next() = {
         if (!out.hasNext) {
-          // pull one (term, shard) run, chunk into blocks
           val (term, shard) = (it.head._1, it.head._2)
           val docIds = new ArrayBuffer[Int](blockSize)
           val tfs = new ArrayBuffer[Int](blockSize)
           while (it.hasNext && it.head._1 == term && it.head._2 == shard) {
             val r = it.next(); docIds += r._3; tfs += r._4
           }
+          val bucket = bucketOf(term, termBuckets)
           out = docIds.grouped(blockSize).zip(tfs.grouped(blockSize))
             .zipWithIndex.map { case ((ds, ts), bid) =>
               val da = ds.toArray; val ta = ts.toArray
               val db = VByte.encodeDeltas(da); val tb = VByte.encode(ta)
-              PostingBlock(term, shard, bid, da.head, da.last, da.length,
-                db, tb, ta.max, db.length + tb.length)
+              (term, shard, bid, da.head, da.last, da.length, db, tb,
+                ta.max, ta.map(_.toLong).sum, db.length + tb.length, bucket)
             }
         }
         out.next()
@@ -244,49 +276,36 @@ object IndexBuild {
     }
   }
 
-  /** Lineage rows computed from the files actually written (per parquet
-    * footer row-group granularity is overkill; per-file is the segment
-    * unit we commit). */
+  val EncodedCols: Seq[String] = Seq("term", "shard", "blockId", "firstDoc",
+    "lastDoc", "count", "docBytes", "tfBytes", "blockMaxTf", "tfSum",
+    "encBytes", "bucket")
+
   private def lineageOf(spark: SparkSession, dir: String,
                         docIdCol: String): Seq[LineageRow] = {
-    import spark.implicits._
     val df = spark.read.parquet(dir)
-    val (lo, hi) =
-      if (docIdCol != null) {
-        val r = df.agg(min(col(docIdCol)), max(col(docIdCol))).collect()(0)
-        (r.getInt(0), r.getInt(1))
-      } else (0, 0)
-    val n = df.count()
-    val sha = Sha.hex(s"$dir:$n:$lo:$hi")
-    Seq(LineageRow(dir.split('/').last, 0, lo, hi, n, dirBytes(spark, dir),
-      sha, java.time.Instant.now.toString))
+    val r = df.agg(min(col(docIdCol)), max(col(docIdCol)), count(lit(1))).collect()(0)
+    Seq(LineageRow(dir.split('/').last, 0, r.getInt(0), r.getInt(1), r.getLong(2),
+      0L, Sha.hex(s"$dir:${r.getLong(2)}"), java.time.Instant.now.toString))
   }
 
-  /** Per-shard lineage for a committed posting bucket: docid range,
-    * posting count, encoded bytes, manifest sha256. Reads only the
-    * small metadata columns (encBytes, not the blobs) — the lineage
-    * pass is a column-pruned scan, cheap even at segment scale. */
+  /** Per-shard lineage from a column-pruned scan of the committed
+    * posting metadata (blob columns never read). */
   private def postingLineage(spark: SparkSession, dir: String,
                              stage: String): Seq[LineageRow] = {
     import spark.implicits._
-    val df = spark.read.parquet(dir)
+    spark.read.parquet(dir)
       .select($"shard", $"term", $"firstDoc", $"lastDoc", $"count", $"encBytes")
-    df.groupBy($"shard").agg(
-      min($"firstDoc").as("lo"), max($"lastDoc").as("hi"),
-      sum($"count").as("n"),
-      sum($"encBytes").as("bytes"),
-      sha2(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", $"term", $"firstDoc", $"lastDoc", $"count")))), 256)
-        .as("sha"))
+      .groupBy($"shard").agg(
+        min($"firstDoc").as("lo"), max($"lastDoc").as("hi"),
+        sum($"count").as("n"),
+        sum($"encBytes").as("bytes"),
+        sha2(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", $"term", $"firstDoc", $"lastDoc", $"count")))), 256)
+          .as("sha"))
       .collect().map { r =>
         LineageRow(stage, r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
           r.getLong(4), r.getString(5), java.time.Instant.now.toString)
       }.toIndexedSeq
   }
 
-  private def dirBytes(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.getContentSummary(p).getLength
-  }
 }

@@ -60,6 +60,15 @@ object Lineage {
   def stage(spark: SparkSession, indexDir: String, stage: String)
            (body: => Seq[LineageRow]): Boolean = {
     if (isCommitted(spark, indexDir, stage)) false
-    else { commit(spark, indexDir, stage, body); true }
+    else {
+      val t0 = System.nanoTime()
+      val rows = body
+      val tBody = (System.nanoTime() - t0) / 1e9
+      commit(spark, indexDir, stage, rows)
+      val tAll = (System.nanoTime() - t0) / 1e9
+      if (sys.props.get("graft.build.verbose").contains("true"))
+        System.err.println(f"[build] stage $stage%-22s ${tBody}%6.2fs (+commit ${tAll - tBody}%5.2fs)")
+      true
+    }
   }
 }

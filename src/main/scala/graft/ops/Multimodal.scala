@@ -28,14 +28,13 @@ object Multimodal {
   /** Deterministic stand-in for a real decoder. */
   object FakeDecoder extends Serializable {
     def decode(a: Asset): AssetFeatures = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val h = md.digest(a.bytes)
+      val h = graft.index.Sha.digest(a.bytes)
       def u8(i: Int): Int = h(i) & 0xff
       AssetFeatures(
         assetId = a.assetId,
         kind = a.kind,
         byteLen = a.bytes.length,
-        sha = h.map("%02x".format(_)).mkString,
+        sha = graft.index.Sha.toHex(h),
         width = if (a.declaredWidth > 0) a.declaredWidth else 16 + u8(0),
         height = if (a.declaredHeight > 0) a.declaredHeight else 16 + u8(1),
         frameCount = if (a.kind == "video") 1 + u8(2) % 32 else 1,

@@ -124,7 +124,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
     val kk = k
     val blocks = blocksFor(terms)
       .select($"term", $"shard", $"firstDoc", $"lastDoc", $"count",
-        $"docBytes", $"tfBytes", $"blockMaxScore")
+        $"docBytes", $"tfBytes", $"blockMaxTf")
       .as[Wand.Block]
     val dps = docsPerShard
     val lens = docs.select(($"docId" / dps).cast("int").as("shard"),

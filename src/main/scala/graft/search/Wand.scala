@@ -20,16 +20,22 @@ import graft.functions.{BM25, VByte}
   */
 object Wand {
 
-  /** One encoded posting block as read from the postings table. */
+  /** One encoded posting block as read from the postings table. The
+    * block-level score upper bound is derived from blockMaxTf + the
+    * term's idf (doclen lower-bounded by 0, see BM25.maxScore) — stored
+    * maxTf keeps the index layout independent of the scoring constants. */
   final case class Block(term: String, shard: Int, firstDoc: Int,
       lastDoc: Int, count: Int, docBytes: Array[Byte],
-      tfBytes: Array[Byte], blockMaxScore: Double)
+      tfBytes: Array[Byte], blockMaxTf: Int)
 
   /** Lazy-decoding cursor over one term's blocks within a shard. */
   final class Cursor(val term: String, blocksUnsorted: Array[Block],
                      val idf: Double) {
     private val blocks = blocksUnsorted.sortBy(_.firstDoc)
-    val maxScore: Double = blocks.map(_.blockMaxScore).max
+    @inline private def bms(b: Block): Double =
+      idf * b.blockMaxTf * (BM25.K1 + 1.0) /
+        (b.blockMaxTf + BM25.K1 * (1.0 - BM25.B))
+    val maxScore: Double = blocks.map(bms).max
     private var bi = 0
     private var pi = 0
     private var ids: Array[Int] = _
@@ -47,7 +53,7 @@ object Wand {
     def curDoc: Int = if (exhausted) Int.MaxValue else ids(pi)
     def curTf: Int = tfs(pi)
     /** Upper bound of the block the cursor is currently in. */
-    def curBlockMax: Double = if (exhausted) 0.0 else blocks(bi).blockMaxScore
+    def curBlockMax: Double = if (exhausted) 0.0 else bms(blocks(bi))
     def curBlockLast: Int = if (exhausted) Int.MaxValue else blocks(bi).lastDoc
 
     def next(): Unit = {
@@ -82,7 +88,7 @@ object Wand {
       var b = bi
       while (b < blocks.length && blocks(b).lastDoc < target) b += 1
       if (b >= blocks.length) (0.0, Int.MaxValue)
-      else (blocks(b).blockMaxScore, blocks(b).lastDoc)
+      else (bms(blocks(b)), blocks(b).lastDoc)
     }
 
     def score(len: Int, avgdl: Double): Double = {

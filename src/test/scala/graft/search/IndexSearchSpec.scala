@@ -22,7 +22,8 @@ class IndexSearchSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graftidx").toString
     val corpus = CorpusGen.generate(spark, nDocs).as[graft.corpus.SourceFile]
     IndexBuild.build(spark, corpus, dir,
-      IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16, numPartitions = 4))
+      IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
+        numPartitions = 4, bucketWaves = true))
     dir
   }
   lazy val engine = new SearchEngine(spark, indexDir)
@@ -116,7 +117,8 @@ class IndexSearchSpec extends AnyFunSuite {
     val before = engine.searchDF("merge buffer", 5).as[(Int, Double)].collect().toSeq
     val corpus = CorpusGen.generate(spark, nDocs).as[graft.corpus.SourceFile]
     IndexBuild.build(spark, corpus, indexDir,
-      IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16, numPartitions = 4))
+      IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
+        numPartitions = 4, bucketWaves = true))
     val after = new SearchEngine(spark, indexDir)
       .searchDF("merge buffer", 5).as[(Int, Double)].collect().toSeq
     assert(before == after)
