@@ -148,6 +148,9 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => // rows-only: approximate path
       Similarity.lshTopK(s, embDf(s, dir), "vec_id", "embedding", 0L, 10,
         nPlanes = 4)),
+    // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
+    "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
+    "q_meili_typo" -> ((s, dir) => meiliQuery(s, dir, "spork merge")),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -165,6 +168,89 @@ object SparkEntry {
       Multimodal.sampleFrames(s, f, 4)
     })
   )
+
+  private def meiliQuery(s: SparkSession, dir: String, q: String): DataFrame = {
+    val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+    mr.search(q, 50)
+      .select(col("docId").cast("long").as("doc_id"),
+        col("wordsRank").cast("long").as("words_rank"),
+        col("typoCost").cast("long").as("typo_cost"),
+        col("proxCost").cast("long").as("prox_cost"),
+        col("posCost").cast("long").as("pos_cost"),
+        col("exactAttr").cast("long").as("exact_attr"),
+        col("exactWords").cast("long").as("exact_words"),
+        col("rankingScore").as("ranking_score"))
+  }
+
+  /** DuckDB oracle for the rule cascade: same slot/derivation/typo-
+    * budget/proximity/position/exactness logic in pure SQL (integers
+    * end-to-end, so the comparison is exact). */
+  private def meiliOracleSql(words: Seq[String], k: Int): String = {
+    val budgets = words.map(graft.search.Levenshtein.budgetFor)
+    val n = words.length
+    val maxTypo = budgets.sum
+    val maxProx = 8 * (n - 1)
+    val maxPos = 48 * n
+    val maxM = n.toLong * (maxTypo + 1) * (maxProx + 1) * (maxPos + 1) * 3 * (n + 1)
+    val qsVals = words.zip(budgets).zipWithIndex
+      .map { case ((w, b), i) => s"($i,'$w',$b)" }.mkString(",")
+    s"""$TOK,
+       |vocab AS (SELECT DISTINCT term FROM tf),
+       |qs AS (SELECT * FROM (VALUES $qsVals) t(slot, w, budget)),
+       |deriv AS (
+       |  SELECT q.slot, v.term,
+       |    CASE WHEN v.term = q.w THEN 0
+       |         WHEN substr(v.term,1,1) = substr(q.w,1,1) THEN levenshtein(v.term,q.w)
+       |         ELSE levenshtein(v.term,q.w) + 1 END AS cost,
+       |    CASE WHEN v.term = q.w THEN 1 ELSE 0 END AS isexact
+       |  FROM vocab v, qs q
+       |  WHERE v.term = q.w OR (q.budget > 0
+       |    AND abs(length(v.term) - length(q.w)) <= q.budget
+       |    AND levenshtein(v.term, q.w) > 0
+       |    AND (CASE WHEN substr(v.term,1,1)=substr(q.w,1,1) THEN levenshtein(v.term,q.w) ELSE levenshtein(v.term,q.w)+1 END) <= q.budget)),
+       |sm AS (SELECT tf.doc_id, d.slot, min(d.cost) AS cost, max(d.isexact) AS isexact
+       |       FROM tf JOIN deriv d USING(term) GROUP BY 1,2),
+       |wr AS (SELECT t.doc_id,
+       |         coalesce((SELECT min(q.slot) FROM qs q WHERE NOT EXISTS
+       |           (SELECT 1 FROM sm WHERE sm.doc_id = t.doc_id AND sm.slot = q.slot)), $n) AS words_rank
+       |       FROM (SELECT DISTINCT doc_id FROM sm) t),
+       |base AS (SELECT w.doc_id, w.words_rank,
+       |    (SELECT coalesce(sum(s.cost),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.slot < w.words_rank) AS typo_cost,
+       |    (SELECT coalesce(sum(s.isexact),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.slot < w.words_rank) AS exact_words
+       |  FROM wr w WHERE w.words_rank >= 1),
+       |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)),
+       |pairs AS (SELECT a.doc_id, a.slot AS s1,
+       |    least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END), 8) AS prox
+       |  FROM pp a JOIN pp b ON a.doc_id=b.doc_id AND b.slot = a.slot + 1 GROUP BY 1,2),
+       |prox AS (SELECT b.doc_id, CASE WHEN b.words_rank<2 THEN 0
+       |    ELSE 8*(b.words_rank-1) - coalesce((SELECT sum(8-p.prox) FROM pairs p
+       |      WHERE p.doc_id=b.doc_id AND p.s1 <= b.words_rank-2),0) END AS prox_cost
+       |  FROM base b),
+       |mp AS (SELECT doc_id, slot, min(pos) AS minpos FROM pp GROUP BY 1,2),
+       |mpb AS (SELECT doc_id, slot, minpos,
+       |    CASE WHEN minpos<16 THEN minpos WHEN minpos<24 THEN 16+(minpos-16)//2
+       |         WHEN minpos<64 THEN 20+(minpos-24)//8 WHEN minpos<256 THEN 25+(minpos-64)//32
+       |         WHEN minpos<1024 THEN 31+(minpos-256)//128
+       |         ELSE least(47, 37+(minpos-1024)//1024) END AS pb FROM mp),
+       |posc AS (SELECT b.doc_id,
+       |    (SELECT coalesce(sum(m.pb),0) FROM mpb m WHERE m.doc_id=b.doc_id AND m.slot<b.words_rank) AS pos_cost,
+       |    (SELECT min(m.minpos) FROM mpb m WHERE m.doc_id=b.doc_id AND m.slot=0) AS first_pos
+       |  FROM base b),
+       |fin AS (SELECT b.doc_id, b.words_rank, b.typo_cost, x.prox_cost, p.pos_cost, b.exact_words,
+       |    CASE WHEN b.words_rank=$n AND b.exact_words=$n AND p.first_pos=0 AND x.prox_cost<=${n - 1}
+       |         THEN (CASE WHEN dl.len=$n THEN 3 ELSE 2 END) ELSE 1 END AS exact_attr
+       |  FROM base b JOIN prox x USING(doc_id) JOIN posc p USING(doc_id) JOIN dl ON dl.doc_id=b.doc_id)
+       |SELECT doc_id, CAST(words_rank AS BIGINT) AS words_rank,
+       |  CAST(typo_cost AS BIGINT) AS typo_cost, CAST(prox_cost AS BIGINT) AS prox_cost,
+       |  CAST(pos_cost AS BIGINT) AS pos_cost, CAST(exact_attr AS BIGINT) AS exact_attr,
+       |  CAST(exact_words AS BIGINT) AS exact_words,
+       |  CAST((((((words_rank - 1) * ${maxTypo + 1} + ${maxTypo + 1} - typo_cost - 1) * ${maxProx + 1}
+       |    + ${maxProx + 1} - prox_cost - 1) * ${maxPos + 1} + ${maxPos + 1} - least(pos_cost, $maxPos) - 1) * 3
+       |    + exact_attr - 1) * ${n + 1} + exact_words + 1 AS DOUBLE) / $maxM AS ranking_score
+       |FROM fin
+       |ORDER BY words_rank DESC, typo_cost ASC, prox_cost ASC, pos_cost ASC,
+       |  exact_attr DESC, exact_words DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Shared prefix: tokenization with positions.
@@ -348,6 +434,8 @@ object SparkEntry {
         | round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS score
         |FROM dots d CROSS JOIN qn
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_meili_rank" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50),
+    "q_meili_typo" -> meiliOracleSql(Seq("spork", "merge"), 50),
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value

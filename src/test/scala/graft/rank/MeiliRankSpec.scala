@@ -1,0 +1,131 @@
+package graft.rank
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.index.{IndexBuild, IndexConfig}
+import graft.search.SearchEngine
+
+/** Rule-cascade semantics on a hand-crafted corpus, mirroring the
+  * reference's inline-document snapshot tests
+  * (crates/milli/src/search/new/tests/{typo,words_tms,exactness,
+  * proximity,attribute_position}.rs): expected orderings and rank
+  * columns are hand-computed from the documented rule semantics. */
+class MeiliRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox"),
+    (2L, "quick brown fox"),
+    (3L, "the quack brown fox"),
+    (4L, "the quick brown cat sleeps"),
+    (5L, "brown fox quick the"),
+    (6L, "the quick red fox"),
+    (7L, "fox"),
+    (8L, "the nimble quick brown fox"),
+    (9L, "the quick brown fox the quick brown fox"))
+
+  lazy val engine: SearchEngine = {
+    val dir = Files.createTempDirectory("meilirank").toString
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true))
+    new SearchEngine(spark, dir)
+  }
+  lazy val mr = new MeiliRank(engine)
+
+  test("words rule: longest matched prefix, docs without first term excluded") {
+    val got = mr.search("the quick brown fox", 20).collect()
+    val ids = got.map(_.getInt(0)).toSeq
+    // hand-computed cascade: see scaladoc derivation
+    assert(ids == Seq(1, 0, 9, 8, 5, 3, 4, 6), s"got $ids")
+    val wr = got.map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(wr(1) == 4 && wr(3) == 4 && wr(4) == 3 && wr(6) == 2)
+    assert(!ids.contains(2) && !ids.contains(7), "docs missing 'the' are excluded")
+  }
+
+  test("typo rule: 1-typo derivation matches with cost, exact words tracked") {
+    val got = mr.search("the quick brown fox", 20).collect()
+      .map(r => r.getInt(0) -> (r.getInt(2), r.getInt(6))).toMap // typoCost, exactWords
+    assert(got(3) == ((1, 3)), "doc 3 matches via quack~quick with 1 typo")
+    assert(got(1) == ((0, 4)))
+  }
+
+  test("typo budgets: len<5 no typos; first-letter typo counts extra") {
+    // 'quicc' (len 5, budget 1) matches 'quick'; 'ruick' would need a
+    // first-letter edit (effective cost 2 > budget 1) -> no match
+    assert(mr.search("quicc", 10).collect().nonEmpty)
+    assert(mr.search("ruick", 10).collect().isEmpty)
+    // 'fax' (len 3, budget 0) must not match 'fox'
+    assert(mr.search("fax", 10).collect().isEmpty)
+  }
+
+  test("proximity rule: scrambled order costs more") {
+    val got = mr.search("the quick brown fox", 20).collect()
+      .map(r => r.getInt(0) -> r.getInt(3)).toMap
+    assert(got(1) == 3, "adjacent pairs cost 1 each")
+    assert(got(8) == 4, "one gap adds 1")
+    assert(got(5) == 6, "reversed pairs cost d+1")
+  }
+
+  test("exactness rule: whole-field exact > starts-with > other") {
+    val got = mr.search("the quick brown fox", 20).collect()
+      .map(r => r.getInt(0) -> r.getInt(5)).toMap
+    assert(got(1) == 3)
+    assert(got(0) == 2 && got(9) == 2)
+    assert(got(5) == 1)
+  }
+
+  test("ranking score is monotone along the cascade order and matches mergeRanks") {
+    val got = mr.search("the quick brown fox", 20).collect()
+    val scores = got.map(_.getDouble(7)).toSeq
+    assert(scores == scores.sorted.reverse, s"scores not monotone: $scores")
+    assert(scores.forall(s => s > 0.0 && s <= 1.0))
+    // distinct rank tuples must produce distinct scores (mixed radix)
+    val tuples = got.map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+    assert(tuples.distinct.size == scores.distinct.size)
+  }
+
+  test("prefix search: last word as prefix expands") {
+    // with prefix expansion 'qui*' matches 'quick': doc 1 matches both
+    // slots (wordsRank 2); without it 'qui' matches nothing (len 3, no
+    // typo budget) so every doc with 'the' sits at wordsRank 1
+    val withPrefix = mr.search("the qui", 20, lastIsPrefix = true).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(withPrefix(1) == 2)
+    val noPrefix = mr.search("the qui", 20).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(noPrefix(1) == 1)
+  }
+
+  test("filter and distinct compose with the cascade") {
+    val f = mr.search("the quick brown fox", 20, filterExpr = Some("docId < 5"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(f == Seq(1, 0, 3, 4))
+    val d = mr.search("the quick brown fox", 20, distinct = Some("lang"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(1), "all docs share lang=en; keep only the best")
+  }
+
+  test("sort rule slots into the cascade") {
+    val sorted = mr.search("the quick brown fox", 20,
+      sortBy = Some(("path", false))).collect().map(_.getInt(0)).toSeq
+    // within equal (words,typo,prox,pos) groups, path desc reorders:
+    // group {0,1,9} all have posCost 6 -> path desc = "9","1","0"
+    assert(sorted.take(3) == Seq(9, 1, 0), s"got $sorted")
+  }
+
+  test("mergeRanks pure function: known values") {
+    assert(MeiliRank.mergeRanks(Seq((1L, 1L))) == 1.0)
+    assert(MeiliRank.mergeRanks(Seq((3L, 4L))) == 0.75)
+    // merge((2,3),(1,2)) = ((2-1)*2+1)/(3*2) = 3/6
+    assert(MeiliRank.mergeRanks(Seq((2L, 3L), (1L, 2L))) == 0.5)
+  }
+}
