@@ -10,6 +10,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 final case class Token(term: String, pos: Int)
 
+/** Token with char offsets into the ORIGINAL text (for highlighting:
+  * reference MatcherBuilder re-tokenizes the stored field to find match
+  * byte ranges, search/new/matches/mod.rs:24-120). */
+final case class OffsetToken(term: String, pos: Int, start: Int, end: Int)
+
 /** Unicode-ish word tokenizer for source code and prose, modeled on the
   * behavior of the reference engine's charabia tokenizer
   * (reference: crates/milli/src/update/new/extract/searchable/tokenize_document.rs:26-160
@@ -104,9 +109,15 @@ object Tokenizer extends Serializable {
     else math.min(47, 37 + (pos - 1024) / 1024)
 
   /** Tokenize one field. Returns tokens with absolute positions. */
-  def tokenize(text: String): Seq[Token] = {
+  def tokenize(text: String): Seq[Token] =
+    tokenizeWithOffsets(text).map(t => Token(t.term, t.pos))
+
+  /** Tokenize keeping char offsets of each subtoken in the original
+    * text (highlighting needs them; position semantics identical to
+    * [[tokenize]]). */
+  def tokenizeWithOffsets(text: String): Seq[OffsetToken] = {
     if (text == null || text.isEmpty) return Nil
-    val out = new ArrayBuffer[Token](math.min(64, text.length / 4 + 1))
+    val out = new ArrayBuffer[OffsetToken](math.min(64, text.length / 4 + 1))
     var pos = -1          // next token gets pos+inc
     var pendingHard = false
     var i = 0
@@ -117,15 +128,16 @@ object Tokenizer extends Serializable {
         val start = i
         while (i < n && isWordChar(text.charAt(i))) i += 1
         val raw = text.substring(start, i)
-        val subs = subtokens(raw)
+        val subs = subtokensWithOffsets(raw)
         var j = 0
         while (j < subs.length) {
-          val norm = normalize(subs(j))
+          val (sub, off) = subs(j)
+          val norm = normalize(sub)
           if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength) {
             val inc = if (pendingHard) HardSeparatorGap else 1
             pos = if (pos < 0) 0 else pos + inc
             pendingHard = false
-            out += Token(norm, pos)
+            out += OffsetToken(norm, pos, start + off, start + off + sub.length)
           }
           j += 1
         }
@@ -133,6 +145,19 @@ object Tokenizer extends Serializable {
         if (HardSeps.contains(c)) pendingHard = true
         i += 1
       }
+    }
+    out.toSeq
+  }
+
+  /** [[subtokens]] plus each subtoken's offset within the word. */
+  def subtokensWithOffsets(word: String): Seq[(String, Int)] = {
+    val subs = subtokens(word)
+    val out = new ArrayBuffer[(String, Int)](subs.length)
+    var from = 0
+    subs.foreach { s =>
+      val off = word.indexOf(s, from)
+      out += ((s, off))
+      from = off + s.length
     }
     out.toSeq
   }

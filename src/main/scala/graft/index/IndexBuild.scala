@@ -209,6 +209,109 @@ object IndexBuild {
     }
   }
 
+  /** Incremental append (reference U1 del/add delta indexing,
+    * update/new/extract cache deltas — here the append-only variant for
+    * an immutable-per-commit corpus, SURVEY §2.9): new docs get docids
+    * N.., their postings land in NEW blocks whose docid ranges sit
+    * strictly above all committed blocks of the same (term, shard), so
+    * readers (including the WAND cursors, which sort blocks by
+    * firstDoc) see one coherent posting list with no rewrite of old
+    * segments. dict and stats are recomputed from the (cheap) posting
+    * metadata scan. Each batch commits its own lineage stage, so a
+    * killed append resumes like a build. */
+  def append(spark: SparkSession, delta: Dataset[SourceFile], indexDir: String,
+             cfg: IndexConfig, batchId: String): Unit = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$indexDir/docs")
+      .agg(coalesce(max($"docId"), lit(-1))).collect()(0).getInt(0) + 1
+
+    Lineage.stage(spark, indexDir, s"docs_delta_$batchId") {
+      val sortedRdd = delta
+        .repartitionByRange(cfg.numPartitions, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .as[SourceFile].rdd
+      val counts = sortedRdd
+        .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(base.toLong)(_ + _)
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      spark.createDataFrame(
+        sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+          var id = bOffsets.value(pid)
+          it.map { f =>
+            val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
+              f.commit, f.lang, f.content, Sha.hex(f.content),
+              Tokenizer.tokenize(f.content).length)
+            id += 1
+            r
+          }
+        },
+        spark.read.parquet(s"$indexDir/docs").schema)
+        .write.mode("append").parquet(s"$indexDir/docs")
+      counts.zipWithIndex.collect { case (c, p) if c > 0 =>
+        LineageRow(s"docs_delta_$batchId", p, offsets(p).toInt,
+          (offsets(p) + c - 1).toInt, c.toLong, 0L,
+          Sha.hex(s"docs_delta_$batchId:$p:$c"), java.time.Instant.now.toString)
+      }.toIndexedSeq
+    }
+
+    Lineage.stage(spark, indexDir, s"postings_delta_$batchId") {
+      val dps = cfg.docsPerShard
+      val tb = cfg.termBuckets
+      val deltaDocs = spark.read.parquet(s"$indexDir/docs")
+        .filter($"docId" >= base)
+      deltaDocs.select($"docId", $"content").as[(Int, String)]
+        .flatMap { case (id, c) => termDocsOf(id, c) }
+        .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
+        .toDF("term", "shard", "docId", "tf", "bucket")
+        .repartition(cfg.numPartitions, $"term", $"shard")
+        .sortWithinPartitions($"term", $"shard", $"docId")
+        .select($"term", $"shard", $"docId", $"tf", $"bucket")
+        .as[(String, Int, Int, Int, Int)]
+        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
+        .toDF(EncodedCols: _*)
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/postings")
+      if (cfg.positions) {
+        deltaDocs.select($"docId", $"content").as[(Int, String)]
+          .flatMap { case (id, c) =>
+            Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
+              case (term, toks) =>
+                (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+            }
+          }.toDF("term", "docId", "positions", "bucket")
+          .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+          .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/positions")
+      }
+      Nil
+    }
+
+    // dict + stats derive from committed data: recompute (overwrite)
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy($"term")
+      .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
+      .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
+      .write.mode("overwrite").parquet(s"$indexDir/dict")
+    val r = spark.read.parquet(s"$indexDir/docs")
+      .agg(count(lit(1)), avg($"len")).collect()(0)
+    Seq(("N", r.getLong(0).toDouble), ("avgdl", r.getDouble(1)),
+      ("k1", BM25.K1), ("b", BM25.B),
+      ("docsPerShard", cfg.docsPerShard.toDouble),
+      ("termBuckets", cfg.termBuckets.toDouble),
+      ("blockSize", cfg.blockSize.toDouble))
+      .toDF("key", "value")
+      .repartition(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Update-merge ingest (reference S1 replace vs update semantics,
+    * document_operation.rs): keep the latest version per primary key
+    * before indexing. */
+  def latestByKey(df: DataFrame, pkCols: Seq[String], versionCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
   /** Build over rows that already carry a dense docid (e.g. an external
     * table with an integer primary key). */
   def buildFromTable(spark: SparkSession, df: DataFrame,

@@ -40,18 +40,25 @@ final case class Slot(idx: Int, original: String,
   * ((outer.rank-1)*inner.maxRank + inner.rank) / (outer.max*inner.max) —
   * computed here as integer Column arithmetic, so it is exact.
   */
-final class MeiliRank(engine: SearchEngine) {
+final class MeiliRank(engine: SearchEngine,
+                      synonyms: Map[String, Seq[String]] = Map.empty) {
   private val spark = engine.spark
   import spark.implicits._
 
   /** Analyze a query into slots with typo-budgeted derivations against
-    * the broadcast dictionary (the FST analogue). */
+    * the broadcast dictionary (the FST analogue). Synonyms expand
+    * query-side only, at typo cost 0 but non-exact (reference X4,
+    * compute_derivations.rs:223-241). */
   def analyze(q: String, lastIsPrefix: Boolean = false): Seq[Slot] = {
     val words = Tokenizer.terms(q)
     words.zipWithIndex.map { case (w, i) =>
       val budget = Levenshtein.budgetFor(w)
       val derivs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       if (engine.dict.contains(w)) derivs(w) = 0
+      synonyms.getOrElse(w, Nil).foreach { s =>
+        val sn = Tokenizer.normalize(s)
+        if (engine.dict.contains(sn) && !derivs.contains(sn)) derivs(sn) = 0
+      }
       // prefix expansion for the last word (cost 0, reference X5)
       if (lastIsPrefix && i == words.length - 1)
         engine.prefixTerms(w).foreach(t => if (!derivs.contains(t)) derivs(t) = 0)

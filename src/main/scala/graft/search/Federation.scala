@@ -1,0 +1,26 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Federated multi-index search (reference POST /multi-search,
+  * routes/multi_search.rs + search/federated/: fan out per index, merge
+  * result lists by weighted score, reference WeightedScoreValue
+  * comparison score_details.rs:39-46). In Spark the merge is a union +
+  * one TakeOrderedAndProject — no driver-side merge loop. */
+object Federation {
+
+  /** Run `q` on every (indexUid, engine, weight) and merge the top-k by
+    * weighted score desc, then indexUid, then docId (deterministic). */
+  def search(indexes: Seq[(String, SearchEngine, Double)], q: String,
+             k: Int, conjunctive: Boolean = true): DataFrame = {
+    require(indexes.nonEmpty)
+    indexes.map { case (uid, engine, weight) =>
+      engine.searchDF(q, k, conjunctive)
+        .select(lit(uid).as("indexUid"), col("docId"),
+          (col("score") * weight).as("weightedScore"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("weightedScore").desc, col("indexUid").asc, col("docId").asc)
+      .limit(k)
+  }
+}

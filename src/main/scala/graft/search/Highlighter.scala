@@ -1,0 +1,67 @@
+package graft.search
+
+import graft.functions.Tokenizer
+
+/** Highlight / crop / match-position formatting over the k result rows
+  * (reference MatcherBuilder/Matcher: re-tokenize the stored field,
+  * match against MatchingWords, emit <em> tags, crop a window around the
+  * best match interval — search/new/matches/mod.rs:24-120,226,396 and
+  * best_match_interval.rs). Driver-side by design: k <= maxTotalHits
+  * (1000), no cluster work needed (SURVEY §2.8 X6).
+  */
+object Highlighter {
+
+  final case class MatchPosition(term: String, pos: Int, start: Int, end: Int)
+
+  /** Char spans of query-term matches in `text` (prefix flag matches the
+    * last-word-as-prefix search mode). */
+  def matchPositions(text: String, terms: Set[String],
+                     prefixTerms: Set[String] = Set.empty): Seq[MatchPosition] =
+    Tokenizer.tokenizeWithOffsets(text).collect {
+      case t if terms.contains(t.term) ||
+        prefixTerms.exists(p => t.term.startsWith(p)) =>
+        MatchPosition(t.term, t.pos, t.start, t.end)
+    }
+
+  /** Wrap every matched token with pre/post tags (`_formatted` field). */
+  def highlight(text: String, terms: Set[String],
+                pre: String = "<em>", post: String = "</em>",
+                prefixTerms: Set[String] = Set.empty): String = {
+    val ms = matchPositions(text, terms, prefixTerms)
+    if (ms.isEmpty) return text
+    val sb = new java.lang.StringBuilder(text.length + ms.size * (pre.length + post.length))
+    var cur = 0
+    // merge adjacent/overlapping spans (camelCase subtokens of one word)
+    val merged = ms.sortBy(_.start).foldLeft(List.empty[(Int, Int)]) {
+      case ((s, e) :: rest, m) if m.start <= e => (s, math.max(e, m.end)) :: rest
+      case (acc, m) => (m.start, m.end) :: acc
+    }.reverse
+    merged.foreach { case (s, e) =>
+      sb.append(text, cur, s).append(pre).append(text, s, e).append(post)
+      cur = e
+    }
+    sb.append(text, cur, text.length)
+    sb.toString
+  }
+
+  /** Crop to ~cropLength words around the best (densest, then earliest)
+    * match window; `marker` marks elided edges. */
+  def crop(text: String, terms: Set[String], cropLength: Int = 10,
+           marker: String = "…"): String = {
+    val toks = Tokenizer.tokenizeWithOffsets(text)
+    if (toks.isEmpty) return text
+    val matched = toks.indices.filter(i => terms.contains(toks(i).term))
+    if (matched.isEmpty)
+      return text.substring(0, toks(math.min(cropLength, toks.size) - 1).end) +
+        (if (toks.size > cropLength) marker else "")
+    // best window of cropLength tokens: max #matches, tie -> earliest
+    val best = (0 to math.max(0, toks.size - cropLength)).maxBy { w =>
+      val hits = matched.count(i => i >= w && i < w + cropLength)
+      (hits, -w)
+    }
+    val endIdx = math.min(toks.size, best + cropLength) - 1
+    val (s, e) = (toks(best).start, toks(endIdx).end)
+    (if (best > 0) marker else "") + text.substring(s, e) +
+      (if (endIdx < toks.size - 1) marker else "")
+  }
+}

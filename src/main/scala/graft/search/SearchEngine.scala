@@ -259,6 +259,57 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
       .agg(countDistinct($"term").as("nTerms"))
   }
 
+  /** Field distribution: field name -> count of docs with a value
+    * (reference FieldDistribution, lib.rs:97; schema is fixed here so it
+    * is per-column non-null counts). */
+  def fieldDistribution(): Map[String, Long] = {
+    val cols = docs.columns.filter(_ != "docId")
+    val row = docs.select(cols.map(c => count(col(c)).as(c)).toIndexedSeq: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** Exhaustive candidate count (reference totalHits /
+    * estimatedTotalHits, search/new/mod.rs:829-842; in batch Spark both
+    * are exact). */
+  def totalHits(q: String, conjunctive: Boolean = true,
+                filter: Option[String] = None): Long = {
+    val base = candidates(q, conjunctive)
+    (filter match {
+      case Some(f) => base.join(
+        docs.filter(graft.query.FilterParser.parse(f)).select($"docId"),
+        Seq("docId"), "left_semi")
+      case None => base
+    }).count()
+  }
+
+  /** Paginated search (reference page/hitsPerPage vs offset/limit,
+    * meilisearch/src/search/mod.rs:74-77): top (offset+limit) then
+    * slice — Catalyst plans TakeOrderedAndProject, so the offset skip
+    * never materializes a global sort. */
+  def searchPage(q: String, offset: Int, limit: Int,
+                 conjunctive: Boolean = true,
+                 filter: Option[String] = None): (Array[Hit], Long) = {
+    val cand = filter.map(f => docs.filter(graft.query.FilterParser.parse(f)))
+    val top = searchDF(q, offset + limit, conjunctive, cand)
+      .as[Hit].collect().drop(offset)
+    (top, totalHits(q, conjunctive, filter))
+  }
+
+  /** Facet-value search (reference SearchForFacetValues,
+    * search/facet/search.rs:21-73): facet values of the query's
+    * candidates whose normalized value starts with `facetQuery`, with
+    * counts, ordered by count desc then value (OrderBy::Count). */
+  def facetSearch(q: String, facetCol: String, facetQuery: String,
+                  maxValues: Int = 100): DataFrame = {
+    val norm = Tokenizer.normalize(facetQuery.trim)
+    docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+      .groupBy(col(facetCol).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .filter(lower(col("value")).startsWith(norm))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(maxValues)
+  }
+
   /** Top-k + document materialization (reference make_hits). */
   def searchHits(q: String, k: Int, filter: Option[String] = None,
                  conjunctive: Boolean = true): DataFrame = {
