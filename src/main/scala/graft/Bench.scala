@@ -39,29 +39,38 @@ object Bench {
     s
   }
 
-  /** Index-build throughput (files/sec) for n synthetic files at a given
-    * core count: best of `reps` runs (the sandbox host has noisy-
-    * neighbor CPU-steal windows that can slow any single run 3-5x;
-    * min-of-N recovers the machine's true capability). A small warmup
-    * build first so JIT compilation is excluded from run 1. */
-  private def buildThroughput(cores: Int, n: Long, reps: Int): Double = {
+  /** One index build of n files at `cores`, returning wall seconds
+    * (fresh session and index dir each time). */
+  private def buildOnce(cores: Int, n: Long): Double = {
     val spark = newSession(cores)
     import spark.implicits._
     val cfg = IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
       blockSize = 128, numPartitions = cores * 2)
-    def run(nDocs: Long): Double = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
-      val t0 = System.nanoTime()
-      IndexBuild.build(spark,
-        CorpusGen.generate(spark, nDocs).as[graft.corpus.SourceFile], dir, cfg)
-      val sec = (System.nanoTime() - t0) / 1e9
-      deleteRec(new java.io.File(dir))
-      sec
-    }
-    run(5000) // JIT warmup
-    val best = (1 to reps).map(_ => run(n)).min
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
+    val t0 = System.nanoTime()
+    IndexBuild.build(spark,
+      CorpusGen.generate(spark, n).as[graft.corpus.SourceFile], dir, cfg)
+    val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
-    n / best
+    deleteRec(new java.io.File(dir))
+    sec
+  }
+
+  /** Scaling measurement: INTERLEAVED low/high-core builds (the sandbox
+    * host has noisy-neighbor CPU-steal windows lasting minutes; running
+    * all low-core builds then all high-core builds would bias the ratio
+    * to whichever batch hit a bad window), best-of-reps each, JIT warmed
+    * once up front. */
+  private def scalingThroughput(lowCores: Int, highCores: Int, n: Long,
+                                reps: Int): (Double, Double) = {
+    buildOnce(highCores, 5000) // JIT warmup
+    var bestLow = Double.MaxValue
+    var bestHigh = Double.MaxValue
+    (1 to reps).foreach { _ =>
+      bestLow = math.min(bestLow, buildOnce(lowCores, n))
+      bestHigh = math.min(bestHigh, buildOnce(highCores, n))
+    }
+    (n / bestLow, n / bestHigh)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -72,13 +81,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val buildN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2000000").toLong
+    // big enough that tokenize/shuffle/encode dominate the fixed driver
+    // overhead (job scheduling + commits), which is what would otherwise
+    // cap measured scaling efficiency on a short run
+    val buildN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     // ---- scaling: same job at 1x and 4x cores --------------------------
     val lowCores = math.max(1, cpus / 4)
-    val thrLow = buildThroughput(lowCores, buildN, reps)
-    val thrHigh = buildThroughput(cpus, buildN, reps)
+    val (thrLow, thrHigh) = scalingThroughput(lowCores, cpus, buildN, reps)
     val efficiency = (thrHigh / thrLow) / (cpus.toDouble / lowCores)
 
     // ---- per-query timings on the driver's sf dir ----------------------

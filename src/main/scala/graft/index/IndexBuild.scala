@@ -130,19 +130,6 @@ object IndexBuild {
     }
     val docsDf = spark.read.parquet(s"$indexDir/docs")
 
-    // ---- stage: stats (one column-pruned agg) --------------------------
-    Lineage.stage(spark, indexDir, "stats") {
-      val r = docsDf.agg(count(lit(1)), avg($"len")).collect()(0)
-      val (n, avgdl) = (r.getLong(0).toDouble, r.getDouble(1))
-      Seq(("N", n), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
-        ("docsPerShard", cfg.docsPerShard.toDouble),
-        ("termBuckets", cfg.termBuckets.toDouble),
-        ("blockSize", cfg.blockSize.toDouble))
-        .toDF("key", "value")
-        .repartition(1).write.mode("overwrite").parquet(s"$indexDir/stats")
-      Nil
-    }
-
     // ---- stage(s): postings -------------------------------------------
     val blockSize = cfg.blockSize
     val dps = cfg.docsPerShard
@@ -187,6 +174,14 @@ object IndexBuild {
         .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
         .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
         .write.mode("overwrite").parquet(s"$indexDir/dict")
+      Nil
+    }
+
+    // ---- stage: stats -- derived without scanning the corpus: N from
+    // the docs lineage (the id-assignment counts), total tokens = Σ cf
+    // over the (small) dictionary, avgdl = tokens / N
+    Lineage.stage(spark, indexDir, "stats") {
+      writeStats(spark, indexDir, cfg)
       Nil
     }
 
@@ -291,10 +286,21 @@ object IndexBuild {
       .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
       .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
       .write.mode("overwrite").parquet(s"$indexDir/dict")
-    val r = spark.read.parquet(s"$indexDir/docs")
-      .agg(count(lit(1)), avg($"len")).collect()(0)
-    Seq(("N", r.getLong(0).toDouble), ("avgdl", r.getDouble(1)),
-      ("k1", BM25.K1), ("b", BM25.B),
+    writeStats(spark, indexDir, cfg)
+  }
+
+  /** stats table from lineage counts + dictionary cf sums (no corpus
+    * scan). */
+  private def writeStats(spark: SparkSession, indexDir: String,
+                         cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val n = Lineage.read(spark, indexDir)
+      .filter($"stage".startsWith("docs"))
+      .agg(coalesce(sum($"postingCount"), lit(0L))).as[Long].head()
+    val tokens = spark.read.parquet(s"$indexDir/dict")
+      .agg(coalesce(sum($"cf"), lit(0L))).as[Long].head()
+    val avgdl = if (n == 0) 0.0 else tokens.toDouble / n
+    Seq(("N", n.toDouble), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
       ("docsPerShard", cfg.docsPerShard.toDouble),
       ("termBuckets", cfg.termBuckets.toDouble),
       ("blockSize", cfg.blockSize.toDouble))

@@ -31,16 +31,27 @@ object Lineage {
   def isCommitted(spark: SparkSession, indexDir: String, stage: String): Boolean =
     fs(spark, indexDir).exists(markerPath(indexDir, stage))
 
-  /** Write lineage rows for a stage, then the commit marker. */
+  /** Write lineage rows for a stage, then the commit marker. Rows are
+    * tiny and already on the driver: written as JSON lines through the
+    * FileSystem API directly — a Spark job for a 5-row table would add
+    * ~0.5s of serial driver time per stage, which is what erodes
+    * scaling efficiency on short builds. */
   def commit(spark: SparkSession, indexDir: String, stage: String,
              rows: Seq[LineageRow]): Unit = {
-    import spark.implicits._
-    val dir = s"$indexDir/lineage/$stage"
-    spark.createDataset(rows).repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/rows")
     val f = fs(spark, indexDir)
-    val out = f.create(markerPath(indexDir, stage), true)
+    val dir = new Path(s"$indexDir/lineage/$stage/rows")
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, "rows.json"), true)
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    rows.foreach { r =>
+      out.write((s"""{"stage":${js(r.stage)},"partitionId":${r.partitionId},""" +
+        s""""docidMin":${r.docidMin},"docidMax":${r.docidMax},""" +
+        s""""postingCount":${r.postingCount},"bytes":${r.bytes},""" +
+        s""""sha256":${js(r.sha256)},"committedAt":${js(r.committedAt)}}""" + "\n")
+        .getBytes("UTF-8"))
+    }
     out.close()
+    f.create(markerPath(indexDir, stage), true).close()
   }
 
   /** All committed lineage rows of an index (for inspection/tests). */
@@ -52,7 +63,17 @@ object Lineage {
       .filter(p => f.exists(new Path(p, "_COMMITTED")))
       .map(p => new Path(p, "rows").toString)
     if (stages.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(stages.toIndexedSeq: _*)
+    else {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("stage", StringType), StructField("partitionId", IntegerType),
+        StructField("docidMin", IntegerType), StructField("docidMax", IntegerType),
+        StructField("postingCount", LongType), StructField("bytes", LongType),
+        StructField("sha256", StringType), StructField("committedAt", StringType)))
+      spark.read.schema(schema).json(stages.toIndexedSeq: _*)
+        .select("stage", "partitionId", "docidMin", "docidMax",
+          "postingCount", "bytes", "sha256", "committedAt")
+    }
   }
 
   /** Run `body` only if the stage is not yet committed; `body` must

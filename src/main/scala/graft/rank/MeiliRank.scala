@@ -11,7 +11,13 @@ import graft.index.IndexBuild
   * zero-typo / one-typo / two-typo derivation sets,
   * query_term/compute_derivations.rs:26-43). */
 final case class Slot(idx: Int, original: String,
-                      derivations: Seq[(String, Int)]) // (term, typoCost)
+                      derivations: Seq[(String, Int)], // (term, typoCost)
+                      /** split-word derivation: the word written as two
+                        * adjacent dictionary words ("quickbrown" ->
+                        * quick+brown), costing one typo (reference
+                        * split_best_frequency,
+                        * query_term/compute_derivations.rs:388-408) */
+                      split: Option[(String, String)] = None)
 
 /** The Meilisearch ranking-rule cascade, re-expressed as one multi-column
   * sort (reference: bucket_sort.rs:21-286 recursive bucket refinement ==
@@ -74,7 +80,28 @@ final class MeiliRank(engine: SearchEngine,
           }
         }
       }
-      Slot(i, w, derivs.toSeq)
+      val split = if (derivs.isEmpty) splitBest(w) else None
+      Slot(i, w, derivs.toSeq, split)
+    }
+  }
+
+  /** Best (l, r) split of an unknown word into two dictionary words, by
+    * frequency of their adjacency (pair proximity 1) — reference
+    * split_best_frequency. Ties break toward the lexicographically
+    * smallest left part (deterministic). */
+  def splitBest(word: String): Option[(String, String)] = {
+    val cands = (1 until word.length)
+      .map(i => (word.substring(0, i), word.substring(i)))
+      .filter { case (l, r) => engine.dict.contains(l) && engine.dict.contains(r) }
+      .sortBy(_._1)
+    if (cands.isEmpty) None
+    else if (cands.size == 1) Some(cands.head)
+    else {
+      val counted = cands.map { case (l, r) =>
+        ((l, r), engine.phrase(Seq(l, r)).count())
+      }
+      val best = counted.maxBy(_._2) // stable: first max in sorted order
+      if (best._2 > 0) Some(best._1) else Some(counted.head._1)
     }
   }
 
@@ -84,23 +111,38 @@ final class MeiliRank(engine: SearchEngine,
     val derivRows = slots.flatMap(s => s.derivations.map { case (t, c) =>
       (t, s.idx, c, if (t == s.original) 1 else 0)
     })
-    if (derivRows.isEmpty)
-      return spark.emptyDataFrame
-        .withColumn("docId", lit(0)).limit(0)
-        .select($"docId", lit(0).as("slot"), lit(0).as("typoCost"), lit(0).as("exact"))
-    val dt = derivRows.toDF("term", "slot", "cost", "isExact")
-    val terms = derivRows.map(_._1).distinct
-    val qts = terms.map(t => graft.search.QueryTerm(t, engine.dict(t), 0.0,
-      IndexBuild.bucketOf(t, engine.termBuckets)))
-    engine.decoded(qts).toDF()
-      .join(broadcast(dt), Seq("term"))
+    val empty = spark.range(0)
+      .select($"id".cast("int").as("docId"), lit(0).as("slot"),
+        lit(0).as("typoCost"), lit(0).as("exact"))
+    if (derivRows.isEmpty && slots.forall(_.split.isEmpty)) return empty
+    val direct = if (derivRows.isEmpty) empty else {
+      val dt = derivRows.toDF("term", "slot", "cost", "isExact")
+      val terms = derivRows.map(_._1).distinct
+      val qts = terms.map(t => graft.search.QueryTerm(t, engine.dict(t), 0.0,
+        IndexBuild.bucketOf(t, engine.termBuckets)))
+      engine.decoded(qts).toDF()
+        .join(broadcast(dt), Seq("term"))
+        .groupBy($"docId", $"slot")
+        .agg(min($"cost").as("typoCost"), max($"isExact").as("exact"))
+    }
+    // split-word derivations: the slot matches where l and r occur
+    // adjacently; counts as one typo, never exact
+    val splitDfs = slots.collect { case s if s.split.isDefined =>
+      val (l, r) = s.split.get
+      engine.phrase(Seq(l, r))
+        .select($"docId", lit(s.idx).as("slot"),
+          lit(1).as("typoCost"), lit(0).as("exact"))
+    }
+    splitDfs.foldLeft(direct)((acc, d) => acc.unionByName(d))
       .groupBy($"docId", $"slot")
-      .agg(min($"cost").as("typoCost"), max($"isExact").as("exact"))
+      .agg(min($"typoCost").as("typoCost"), max($"exact").as("exact"))
   }
 
-  /** (docId, slot, pos) exploded positions for all derivations. */
+  /** (docId, slot, pos) exploded positions for all derivations (split
+    * derivations contribute the left word's positions). */
   private def slotPositions(slots: Seq[Slot]): DataFrame = {
-    val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)))
+    val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)) ++
+      s.split.map(sp => (sp._1, s.idx)))
     val dt = derivRows.toDF("term", "slot")
     engine.positionsFor(derivRows.map(_._1).distinct)
       .join(broadcast(dt), Seq("term"))
@@ -117,7 +159,7 @@ final class MeiliRank(engine: SearchEngine,
              lastIsPrefix: Boolean = false): DataFrame = {
     val slots = analyze(q, lastIsPrefix)
     val n = slots.length
-    if (n == 0 || slots.forall(_.derivations.isEmpty))
+    if (n == 0 || slots.forall(s => s.derivations.isEmpty && s.split.isEmpty))
       return engine.docs.limit(0)
         .select($"docId", lit(0).as("rankingScore"))
     val matches = slotMatches(slots)

@@ -93,11 +93,11 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
       case Some(c) => base.join(broadcast(c.select($"docId")), Seq("docId"), "left_semi")
       case None => base
     }
-    // per-query postings are small → broadcast them into the doclen
-    // lookup join so the big docs table is never shuffled
-    val withLen = universe
-      .join(broadcast(idfDf), Seq("term"))
-      .join(docs.select($"docId", $"len"), Seq("docId"))
+    // per-query postings are small → broadcast THEM into the doclen
+    // lookup join (docs table on the probe side), so the 10^12-row docs
+    // table is never shuffled or broadcast
+    val withLen = docs.select($"docId", $"len")
+      .join(broadcast(universe.join(broadcast(idfDf), Seq("term"))), Seq("docId"))
       .withColumn("tscore", $"idf" * $"tf" * lit(BM25.K1 + 1.0) /
         ($"tf" + lit(BM25.K1) * (lit(1.0 - BM25.B) + lit(BM25.B) * $"len" / lit(avgdl))))
     // deterministic f64 evaluation order: sum per-term scores in

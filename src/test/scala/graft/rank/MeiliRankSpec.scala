@@ -122,6 +122,14 @@ class MeiliRankSpec extends AnyFunSuite {
     assert(sorted.take(3) == Seq(9, 1, 0), s"got $sorted")
   }
 
+  test("split-word derivation: unknown compound matches adjacent pair at one typo") {
+    assert(mr.splitBest("quickbrown") == Some(("quick", "brown")))
+    val got = mr.search("quickbrown", 20).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap // docId -> typoCost
+    assert(got.keySet == Set(0, 1, 2, 4, 8, 9), s"got ${got.keySet}")
+    assert(got.values.forall(_ == 1), "split words cost one typo")
+  }
+
   test("mergeRanks pure function: known values") {
     assert(MeiliRank.mergeRanks(Seq((1L, 1L))) == 1.0)
     assert(MeiliRank.mergeRanks(Seq((3L, 4L))) == 0.75)
