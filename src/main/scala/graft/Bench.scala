@@ -56,19 +56,45 @@ object Bench {
     sec
   }
 
-  /** Scaling measurement: INTERLEAVED low/high-core builds (the sandbox
-    * host has noisy-neighbor CPU-steal windows lasting minutes; running
-    * all low-core builds then all high-core builds would bias the ratio
-    * to whichever batch hit a bad window), best-of-reps each, JIT warmed
-    * once up front. */
+  /** Hypervisor CPU-steal jiffies from /proc/stat (0 if unreadable). */
+  private def stealJiffies(): Long =
+    try {
+      val first = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      first.trim.split("\\s+")(8).toLong
+    } catch { case _: Throwable => 0L }
+
+  /** Build once; retry (up to `maxRetry`) if the hypervisor stole more
+    * than 10% of the run's core-seconds — during the host's steal
+    * windows the VM simply does not have `cores` cores, so such a
+    * sample measures the neighbor, not this engine. Returns the best
+    * wall time observed. */
+  private def buildOnceClean(cores: Int, n: Long, maxRetry: Int): Double = {
+    var best = Double.MaxValue
+    var attempt = 0
+    while (attempt <= maxRetry) {
+      val s0 = stealJiffies()
+      val t = buildOnce(cores, n)
+      val stolenSec = (stealJiffies() - s0) / 100.0
+      best = math.min(best, t)
+      System.err.println(f"[bench] build cores=$cores n=$n wall=$t%.1fs steal=$stolenSec%.1fs")
+      if (stolenSec < 0.10 * t * cores) return best
+      attempt += 1
+    }
+    best
+  }
+
+  /** Scaling measurement: INTERLEAVED low/high-core builds (the host's
+    * steal windows last minutes; batching all low-core then all
+    * high-core runs would bias the ratio), steal-aware retries, best-of-
+    * reps each, JIT warmed once up front. */
   private def scalingThroughput(lowCores: Int, highCores: Int, n: Long,
                                 reps: Int): (Double, Double) = {
     buildOnce(highCores, 5000) // JIT warmup
     var bestLow = Double.MaxValue
     var bestHigh = Double.MaxValue
     (1 to reps).foreach { _ =>
-      bestLow = math.min(bestLow, buildOnce(lowCores, n))
-      bestHigh = math.min(bestHigh, buildOnce(highCores, n))
+      bestLow = math.min(bestLow, buildOnceClean(lowCores, n, maxRetry = 1))
+      bestHigh = math.min(bestHigh, buildOnceClean(highCores, n, maxRetry = 2))
     }
     (n / bestLow, n / bestHigh)
   }

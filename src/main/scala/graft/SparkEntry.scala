@@ -52,10 +52,12 @@ object SparkEntry {
     "q_dict" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
       s.read.parquet(s"${e.indexDir}/dict").select(col("term"), col("df"), col("cf"))
+        .orderBy(col("term"))
     }),
     "q_doclen" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
       e.docs.select(col("docId").cast("long").as("doc_id"), col("len").cast("long").as("len"))
+        .orderBy(col("doc_id"))
     }),
     "q_stats" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
@@ -101,6 +103,7 @@ object SparkEntry {
       scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("source"), col("doc_id"), col("score"))
+        .orderBy(col("source"))
     }),
     // ---- words / phrase / proximity / negative / prefix / typo -------
     "q_words_count" -> ((s, dir) => {
@@ -108,40 +111,46 @@ object SparkEntry {
       e.decoded(e.analyze("batch stream window")).toDF()
         .groupBy(col("docId").cast("long").as("doc_id"))
         .agg(countDistinct(col("term")).as("n_matched"))
+        .orderBy(col("doc_id"))
     }),
     "q_phrase" -> ((s, dir) =>
       DocIndex.engine(s, dir).phrase(Seq("batch", "batch"))
-        .select(col("docId").cast("long").as("doc_id"))),
+        .select(col("docId").cast("long").as("doc_id")).orderBy(col("doc_id"))),
     "q_proximity" -> ((s, dir) =>
       DocIndex.engine(s, dir).proximity("spark", "merge")
-        .select(col("docId").cast("long").as("doc_id"), col("prox"))),
+        .select(col("docId").cast("long").as("doc_id"), col("prox")).orderBy(col("doc_id"))),
     "q_negative" -> ((s, dir) =>
       DocIndex.engine(s, dir).negative("batch", "stream")
-        .select(col("docId").cast("long").as("doc_id"))),
+        .select(col("docId").cast("long").as("doc_id")).orderBy(col("doc_id"))),
     "q_prefix" -> ((s, dir) =>
       DocIndex.engine(s, dir).prefixSearch("s")
-        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))),
+        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))
+        .orderBy(col("doc_id"))),
     "q_typo" -> ((s, dir) =>
       DocIndex.engine(s, dir).typoSearch("sparkz", 1)
-        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))),
+        .select(col("docId").cast("long").as("doc_id"), col("nTerms").as("n_terms"))
+        .orderBy(col("doc_id"))),
     // ---- dedup family -------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(docsDf(s, dir), "doc_id", "text")),
+      Dedup.exactGroups(docsDf(s, dir), "doc_id", "text").orderBy(col("h"))),
     "q_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docsDf(s, dir), "doc_id", "text", 3, 0.2)),
+      Dedup.jaccardPairs(docsDf(s, dir), "doc_id", "text", 3, 0.2)
+        .orderBy(col("a"), col("b"))),
     "q_minhash" -> ((s, dir) =>
-      Dedup.minhashSignatures(docsDf(s, dir), "doc_id", "text", 3, 4)),
+      Dedup.minhashSignatures(docsDf(s, dir), "doc_id", "text", 3, 4)
+        .orderBy(col("id"))),
     "q_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docsDf(s, dir), "doc_id", "text", 3, 4, 2)),
+      Dedup.minhashLshPairs(docsDf(s, dir), "doc_id", "text", 3, 4, 2)
+        .orderBy(col("a"), col("b"))),
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash16(docsDf(s, dir), "doc_id", "text")),
+      Dedup.simhash16(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     // ---- text metrics --------------------------------------------------
     "q_quality" -> ((s, dir) =>
-      TextMetrics.quality(docsDf(s, dir), "doc_id", "text")),
+      TextMetrics.quality(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     "q_langid" -> ((s, dir) =>
-      TextMetrics.langId(docsDf(s, dir), "doc_id", "text")),
+      TextMetrics.langId(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     "q_fingerprint" -> ((s, dir) =>
-      TextMetrics.fingerprint(docsDf(s, dir), "doc_id", "text")),
+      TextMetrics.fingerprint(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     // ---- similarity search ---------------------------------------------
     "q_knn" -> ((s, dir) =>
       Similarity.cosineTopK(embDf(s, dir), "vec_id", "embedding", 0L, 10)),
@@ -155,13 +164,15 @@ object SparkEntry {
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("n"), col("sum_value"))),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))),
     // ---- multimodal plumbing (rows-only: stubbed decoder) --------------
     "q_mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
           Multimodal.assetsFromText(docsDf(s, dir), "doc_id", "text"))
         .toDF().select(col("assetId").as("asset_id"), col("kind"),
-          col("byteLen").cast("long").as("byte_len"), col("sha"))),
+          col("byteLen").cast("long").as("byte_len"), col("sha"))
+        .orderBy(col("asset_id"))),
     "q_mm_frames" -> ((s, dir) => { // rows-only
       val f = Multimodal.extractFeatures(s,
         Multimodal.assetsFromText(docsDf(s, dir), "doc_id", "text"))
@@ -290,7 +301,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_dict" ->
-      s"""$TOK SELECT term, count(*) AS df, sum(tf) AS cf
+      s"""$TOK SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
          |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_doclen" ->
       s"""$TOK SELECT doc_id, len FROM dl ORDER BY doc_id""".stripMargin,
@@ -321,31 +332,31 @@ object SparkEntry {
          |ranked AS (SELECT d.source AS source, agg.doc_id AS doc_id, agg.score AS score,
          |  row_number() OVER (PARTITION BY d.source ORDER BY agg.score DESC, agg.doc_id ASC) AS rn
          | FROM agg JOIN documents d USING(doc_id))
-         |SELECT source, doc_id, score FROM ranked WHERE rn = 1""".stripMargin,
+         |SELECT source, doc_id, score FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_words_count" ->
       s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_matched FROM tf
-         |WHERE term IN ('batch', 'stream', 'window') GROUP BY doc_id""".stripMargin,
+         |WHERE term IN ('batch', 'stream', 'window') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_phrase" ->
       s"""$TOK SELECT DISTINCT a.doc_id AS doc_id
          |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-         |WHERE a.term = 'batch' AND b.term = 'batch'""".stripMargin,
+         |WHERE a.term = 'batch' AND b.term = 'batch' ORDER BY doc_id""".stripMargin,
     "q_proximity" ->
       s"""$TOK SELECT a.doc_id AS doc_id,
          |least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END), 7) AS prox
          |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-         |WHERE a.term = 'spark' AND b.term = 'merge' GROUP BY a.doc_id""".stripMargin,
+         |WHERE a.term = 'spark' AND b.term = 'merge' GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
     "q_negative" ->
       s"""$TOK SELECT DISTINCT doc_id FROM tf WHERE term = 'batch'
-         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')""".stripMargin,
+         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream') ORDER BY doc_id""".stripMargin,
     "q_prefix" ->
       s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_terms FROM tf
-         |WHERE term LIKE 's%' GROUP BY doc_id""".stripMargin,
+         |WHERE term LIKE 's%' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_typo" ->
       s"""$TOK SELECT doc_id, count(DISTINCT term) AS n_terms FROM tf
-         |WHERE levenshtein(term, 'sparkz') <= 1 GROUP BY doc_id""".stripMargin,
+         |WHERE levenshtein(term, 'sparkz') <= 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "q_jaccard" ->
       s"""$TOK,
          |$ShingleCte,
@@ -357,13 +368,13 @@ object SparkEntry {
          | (sa.s + sb.s - p.inter) AS uni,
          | round(p.inter / (sa.s + sb.s - p.inter), 6) AS jacc
          |FROM pairs p JOIN sz sa ON sa.id = p.a JOIN sz sb ON sb.id = p.b
-         |WHERE round(p.inter / (sa.s + sb.s - p.inter), 6) >= 0.2""".stripMargin,
+         |WHERE round(p.inter / (sa.s + sb.s - p.inter), 6) >= 0.2 ORDER BY a, b""".stripMargin,
     "q_minhash" ->
       s"""$TOK,
          |$ShingleCte
          |SELECT id, min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
          | min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-         |FROM sh GROUP BY id""".stripMargin,
+         |FROM sh GROUP BY id ORDER BY id""".stripMargin,
     "q_lsh_pairs" ->
       s"""$TOK,
          |$ShingleCte,
@@ -378,7 +389,7 @@ object SparkEntry {
          | SELECT id, 2, md5(mh4 || '|' || mh5) FROM sig UNION ALL
          | SELECT id, 3, md5(mh6 || '|' || mh7) FROM sig)
          |SELECT DISTINCT l.id AS a, r.id AS b FROM buckets l
-         |JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id""".stripMargin,
+         |JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id ORDER BY a, b""".stripMargin,
     "q_simhash" ->
       s"""$TOK,
          |th AS (SELECT doc_id, term, tf, md5(term) AS h FROM tf),
@@ -386,8 +397,8 @@ object SparkEntry {
          |  sum(CASE WHEN substr(h, j + 1, 1) IN ('8','9','a','b','c','d','e','f')
          |      THEN tf ELSE -tf END) AS s
          | FROM th, unnest(range(16)) AS u(j) GROUP BY doc_id, j)
-         |SELECT doc_id AS id, sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+         |SELECT doc_id AS id, CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin,
     "q_quality" ->
       s"""$TOK,
          |agg AS (SELECT doc_id,
@@ -400,7 +411,7 @@ object SparkEntry {
          | round(a.sumlen / greatest(a.ntok, 1), 6) AS avg_token_len,
          | round(a.nstop / greatest(a.ntok, 1), 6) AS stopword_ratio,
          | round(a.ndist / greatest(a.ntok, 1), 6) AS distinct_ratio
-         |FROM documents d JOIN agg a USING(doc_id)""".stripMargin,
+         |FROM documents d JOIN agg a USING(doc_id) ORDER BY id""".stripMargin,
     "q_langid" ->
       s"""$TOK,
          |sc AS (SELECT doc_id,
@@ -415,13 +426,13 @@ object SparkEntry {
          |      WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
          |      WHEN s_de > 0 THEN 'de'
          |      ELSE 'und' END AS lang_pred
-         |FROM sc""".stripMargin,
+         |FROM sc ORDER BY id""".stripMargin,
     "q_fingerprint" ->
       s"""$TOK
          |SELECT doc_id AS id,
          | md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp,
          | len(list_distinct(ts)) AS n_distinct
-         |FROM tl""".stripMargin,
+         |FROM tl ORDER BY id""".stripMargin,
     "q_knn" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
         |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM ex WHERE vec_id = 0),
@@ -439,11 +450,11 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_mm_features" ->
       """SELECT doc_id AS asset_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |octet_length(CAST(text AS BLOB)) AS byte_len, sha256(text) AS sha
-        |FROM documents""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin
   )
 }
