@@ -127,7 +127,8 @@ class IndexSearchSpec extends AnyFunSuite {
 
 /** Independent in-memory BM25 reference (no Spark, no shared code with
   * the engine except the tokenizer spec, which *is* the contract). */
-final class BruteForce(contents: Array[String]) {
+final class BruteForce(contents: Array[String],
+                       langs: Array[String] = Array.empty) {
   val docTerms: Array[Map[String, Int]] =
     contents.map(c => Tokenizer.terms(c).groupBy(identity).map { case (t, xs) => t -> xs.size })
   val docLens: Array[Int] = contents.map(c => Tokenizer.terms(c).size)
@@ -142,10 +143,13 @@ final class BruteForce(contents: Array[String]) {
   }
   val totalPostings: Long = docTerms.map(_.size.toLong).sum
 
-  def topK(q: String, k: Int, conjunctive: Boolean): Seq[(Int, Double)] = {
+  def topK(q: String, k: Int, conjunctive: Boolean,
+           langFilter: Option[String] = None): Seq[(Int, Double)] = {
     val terms = Tokenizer.terms(q).distinct.filter(dict.contains)
     if (terms.isEmpty) return Nil
-    val scored = (0 until n.toInt).flatMap { d =>
+    val universe = (0 until n.toInt).filter(d =>
+      langFilter.forall(lf => langs.nonEmpty && langs(d) == lf))
+    val scored = universe.flatMap { d =>
       val present = terms.filter(docTerms(d).contains)
       if (present.isEmpty || (conjunctive && present.size != terms.size)) None
       else {
