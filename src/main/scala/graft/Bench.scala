@@ -158,11 +158,19 @@ object Bench {
     val spark = newSession(cpus)
     // warm the document index once so query timings measure queries
     DocIndex.engine(spark, sfDir)
+    // a crashed query must NOT be reported as a (fast) success — record
+    // failures explicitly (value -1 + errors list) so regressions the
+    // bench exists to catch stay visible
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          false
+      }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val errors = results.collect { case (n, v) if v < 0 => n }
 
     // ---- warm top-k latency p50 ----------------------------------------
     val engine = new SearchEngine(spark, DocIndex.indexDir(sfDir))
@@ -179,9 +187,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir",""" +
+      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""build_files_per_sec":${thrHigh2.round},"query_p50_ms":${p50.round},""" +
       s""""scaling":{"cores_low":$lowCores,"cores_high":$highCores,""" +
       f""""files_per_sec_low":${thrLow.round},"files_per_sec_high":${thrHigh.round},"efficiency":$efficiency%.3f,""" +

@@ -109,6 +109,14 @@ object IndexBuild {
         sortedRdd.mapPartitionsWithIndex { (pid, it) =>
           var id = bOffsets.value(pid)
           it.map { f =>
+            // per-index cap: docids are Int (2.1B docs / index); beyond
+            // that, shard into multiple indexes and merge results via
+            // search.Federation (the multi-index sharding story). Fail
+            // fast instead of wrapping negative (VByte deltas require
+            // strictly increasing ids).
+            require(id <= Int.MaxValue,
+              s"docId $id exceeds the per-index Int cap; shard into a new " +
+                "index and merge via search.Federation")
             val len = Tokenizer.tokenize(f.content).length
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content), len)
@@ -217,10 +225,12 @@ object IndexBuild {
   def append(spark: SparkSession, delta: Dataset[SourceFile], indexDir: String,
              cfg: IndexConfig, batchId: String): Unit = {
     import spark.implicits._
-    val base = spark.read.parquet(s"$indexDir/docs")
-      .agg(coalesce(max($"docId"), lit(-1))).collect()(0).getInt(0) + 1
 
     Lineage.stage(spark, indexDir, s"docs_delta_$batchId") {
+      // base read INSIDE the stage: on resume the stage is skipped, so a
+      // kill between the two stages can't shift the batch's docid range
+      val base = spark.read.parquet(s"$indexDir/docs")
+        .agg(coalesce(max($"docId"), lit(-1))).collect()(0).getInt(0) + 1
       val sortedRdd = delta
         .repartitionByRange(cfg.numPartitions, $"repo", $"path", $"commit")
         .sortWithinPartitions($"repo", $"path", $"commit")
@@ -230,10 +240,16 @@ object IndexBuild {
         .collect().sortBy(_._1).map(_._2)
       val offsets = counts.scanLeft(base.toLong)(_ + _)
       val bOffsets = spark.sparkContext.broadcast(offsets)
+      // staged write (overwrite = idempotent) + tagged publish into docs/:
+      // a kill during either step re-runs the stage and converges
+      val staging = s"$indexDir/_stage_docs_$batchId"
       spark.createDataFrame(
         sortedRdd.mapPartitionsWithIndex { (pid, it) =>
           var id = bOffsets.value(pid)
           it.map { f =>
+            require(id <= Int.MaxValue,
+              s"docId $id exceeds the per-index Int cap; shard into a new " +
+                "index and merge via search.Federation")
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content),
               Tokenizer.tokenize(f.content).length)
@@ -242,7 +258,8 @@ object IndexBuild {
           }
         },
         spark.read.parquet(s"$indexDir/docs").schema)
-        .write.mode("append").parquet(s"$indexDir/docs")
+        .write.mode("overwrite").parquet(staging)
+      Lineage.publishAppend(spark, staging, s"$indexDir/docs", s"b$batchId")
       counts.zipWithIndex.collect { case (c, p) if c > 0 =>
         LineageRow(s"docs_delta_$batchId", p, offsets(p).toInt,
           (offsets(p) + c - 1).toInt, c.toLong, 0L,
@@ -251,31 +268,45 @@ object IndexBuild {
     }
 
     Lineage.stage(spark, indexDir, s"postings_delta_$batchId") {
-      val dps = cfg.docsPerShard
-      val tb = cfg.termBuckets
-      val deltaDocs = spark.read.parquet(s"$indexDir/docs")
-        .filter($"docId" >= base)
-      deltaDocs.select($"docId", $"content").as[(Int, String)]
-        .flatMap { case (id, c) => termDocsOf(id, c) }
-        .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
-        .toDF("term", "shard", "docId", "tf", "bucket")
-        .repartition(cfg.numPartitions, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .select($"term", $"shard", $"docId", $"tf", $"bucket")
-        .as[(String, Int, Int, Int, Int)]
-        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
-        .toDF(EncodedCols: _*)
-        .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/postings")
-      if (cfg.positions) {
+      // the batch's docid range comes from the COMMITTED docs_delta
+      // lineage — recomputing max(docId)+1 here would (after a kill
+      // between the stages) exclude the already-published delta docs,
+      // committing empty postings and leaving them unsearchable
+      val range = Lineage.read(spark, indexDir)
+        .filter($"stage" === s"docs_delta_$batchId")
+        .agg(min($"docidMin"), max($"docidMax")).collect()(0)
+      if (!range.isNullAt(0)) {
+        val (lo, hi) = (range.getInt(0), range.getInt(1))
+        val dps = cfg.docsPerShard
+        val tb = cfg.termBuckets
+        val deltaDocs = spark.read.parquet(s"$indexDir/docs")
+          .filter($"docId".between(lo, hi))
+        val staging = s"$indexDir/_stage_postings_$batchId"
         deltaDocs.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) =>
-            Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
-              case (term, toks) =>
-                (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
-            }
-          }.toDF("term", "docId", "positions", "bucket")
-          .repartition(math.max(1, cfg.numPartitions / 2), $"term")
-          .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/positions")
+          .flatMap { case (id, c) => termDocsOf(id, c) }
+          .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
+          .toDF("term", "shard", "docId", "tf", "bucket")
+          .repartition(cfg.numPartitions, $"term", $"shard")
+          .sortWithinPartitions($"term", $"shard", $"docId")
+          .select($"term", $"shard", $"docId", $"tf", $"bucket")
+          .as[(String, Int, Int, Int, Int)]
+          .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
+          .toDF(EncodedCols: _*)
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
+        if (cfg.positions) {
+          val pstaging = s"$indexDir/_stage_positions_$batchId"
+          deltaDocs.select($"docId", $"content").as[(Int, String)]
+            .flatMap { case (id, c) =>
+              Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
+                case (term, toks) =>
+                  (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+              }
+            }.toDF("term", "docId", "positions", "bucket")
+            .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+            .write.mode("overwrite").partitionBy("bucket").parquet(pstaging)
+          Lineage.publishAppend(spark, pstaging, s"$indexDir/positions", s"b$batchId")
+        }
       }
       Nil
     }

@@ -76,6 +76,42 @@ object Lineage {
     }
   }
 
+  /** Idempotent publish of a staged append: move every data file under
+    * `stagingDir` into `targetDir`, renaming it `<tag>-<name>` (one
+    * level of `col=value` partition subdirs is preserved). Any target
+    * files already carrying the tag prefix are deleted first, so a
+    * re-run after a mid-publish kill converges to exactly one copy —
+    * this is what makes `mode("append")` safe under resume (a plain
+    * Spark append writes fresh UUID-named files on every attempt and
+    * duplicates rows). The staging dir is removed on success. */
+  def publishAppend(spark: SparkSession, stagingDir: String,
+                    targetDir: String, tag: String): Unit = {
+    val f = fs(spark, targetDir)
+    val src = new Path(stagingDir)
+    val dst = new Path(targetDir)
+    f.mkdirs(dst)
+    def dataFiles(dir: Path): Seq[Path] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .toIndexedSeq
+    def partDirs(dir: Path): Seq[Path] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath).toIndexedSeq
+    // pre-delete any previous (possibly partial) publish of this tag
+    (dst +: partDirs(dst)).foreach { d =>
+      dataFiles(d).filter(_.getName.startsWith(s"$tag-")).foreach(p => f.delete(p, false))
+    }
+    def moveInto(from: Path, to: Path): Unit = {
+      f.mkdirs(to)
+      dataFiles(from).foreach(p => f.rename(p, new Path(to, s"$tag-${p.getName}")))
+    }
+    moveInto(src, dst)
+    partDirs(src).foreach(pd => moveInto(pd, new Path(dst, pd.getName)))
+    f.delete(src, true): Unit
+  }
+
   /** Run `body` only if the stage is not yet committed; `body` must
     * return the lineage rows describing what it wrote. */
   def stage(spark: SparkSession, indexDir: String, stage: String)

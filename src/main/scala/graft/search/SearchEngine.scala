@@ -300,12 +300,29 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
     * candidates whose normalized value starts with `facetQuery`, with
     * counts, ordered by count desc then value (OrderBy::Count). */
   def facetSearch(q: String, facetCol: String, facetQuery: String,
-                  maxValues: Int = 100): DataFrame = {
+                  maxValues: Int = 100, typoTolerant: Boolean = false): DataFrame = {
     val norm = Tokenizer.normalize(facetQuery.trim)
-    docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+    // normalize BOTH sides identically (reference normalizes the facet
+    // value into facet_id_normalized_string_strings, lib.rs:378-380) —
+    // lower() alone would never match a diacritic value ('Café') against
+    // its own normalized query ('cafe'). UDF runs post-agg on ≤ distinct
+    // facet values, not per doc.
+    val normUdf = udf((s: String) => if (s == null) null else Tokenizer.normalize(s.trim))
+    val grouped = docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
       .groupBy(col(facetCol).as("value"))
       .agg(count(lit(1)).as("n"))
-      .filter(lower(col("value")).startsWith(norm))
+      .withColumn("nv", normUdf(col("value")))
+    // typo-tolerant variant: the reference runs the Levenshtein DFA over
+    // the facet FST (search/facet/search.rs:21-73); budget by query len
+    val matched =
+      if (!typoTolerant) grouped.filter(col("nv").startsWith(norm))
+      else {
+        val budget = Levenshtein.budgetFor(norm)
+        val levUdf = udf((v: String) =>
+          v != null && (v.startsWith(norm) || Levenshtein(v, norm) <= budget))
+        grouped.filter(levUdf(col("nv")))
+      }
+    matched.drop("nv")
       .orderBy(col("n").desc, col("value").asc)
       .limit(maxValues)
   }

@@ -123,7 +123,13 @@ object Wand {
                 idfs: Map[String, Double], avgdl: Double, k: Int,
                 conjunctive: Boolean): Iterator[Hit] = {
     if (blocks.isEmpty) return Iterator.empty
-    val cursors = blocks.groupBy(_.term).map { case (t, bs) =>
+    val byTerm = blocks.groupBy(_.term)
+    // AND semantics: a query term absent from this shard means no doc in
+    // the shard can match all terms — without this check the
+    // intersection would silently run over the remaining terms (idfs
+    // carries ALL query terms; blocks only the shard-present ones)
+    if (conjunctive && byTerm.size < idfs.size) return Iterator.empty
+    val cursors = byTerm.map { case (t, bs) =>
       new Cursor(t, bs, idfs(t))
     }.toArray
     val topk = new TopK(k)
