@@ -18,7 +18,9 @@ object BuildProfile {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
-        println(f"STAGE ${i.stageId}%3d tasks=${i.numTasks}%3d " +
+        val wall = (for (s <- i.submissionTime; c <- i.completionTime)
+          yield (c - s) / 1000.0).getOrElse(-1.0)
+        println(f"STAGE ${i.stageId}%3d tasks=${i.numTasks}%3d wall=$wall%6.1fs " +
           f"run=${m.executorRunTime / 1000.0}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
           f"gc=${m.jvmGCTime / 1000.0}%6.1fs " +
           f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +

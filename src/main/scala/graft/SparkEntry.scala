@@ -160,6 +160,23 @@ object SparkEntry {
     // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
     "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
     "q_meili_typo" -> ((s, dir) => meiliQuery(s, dir, "spork merge")),
+    // 2-gram merge: neither 'win' nor 'dow' is a vocab term; the merged
+    // compound 'window' matches both slots at ngram cost 1
+    "q_meili_ngram" -> ((s, dir) => meiliQuery(s, dir, "win dow")),
+    // ---- query-string syntax: phrase + negative in one query -----------
+    "q_mixed" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.searchDF("batch -stream \"spark merge\"", 1000000, conjunctive = true)
+        .select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+    // ---- typo-tolerant facet-value search -------------------------------
+    "q_facet_search" -> ((s, dir) =>
+      DocIndex.engine(s, dir) // buildFromTable maps source -> repo
+        .facetSearch("batch", "repo", "srcc1", typoTolerant = true)
+        .select(col("value"), col("n"))),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -199,16 +216,28 @@ object SparkEntry {
   private def meiliOracleSql(words: Seq[String], k: Int): String = {
     val budgets = words.map(graft.search.Levenshtein.budgetFor)
     val n = words.length
-    val maxTypo = budgets.sum
+    // +n: split-word and 2-gram-merge derivations cost 1 beyond the
+    // word's own typo budget (mirrors MeiliRank.search maxTypo)
+    val maxTypo = budgets.sum + n
     val maxProx = 8 * (n - 1)
     val maxPos = 48 * n
     val maxM = n.toLong * (maxTypo + 1) * (maxProx + 1) * (maxPos + 1) * 3 * (n + 1)
     val qsVals = words.zip(budgets).zipWithIndex
       .map { case ((w, b), i) => s"($i,'$w',$b)" }.mkString(",")
+    // 2-gram merges: the merged compound (if in vocab) covers both
+    // slots, cost 1 on the left and 0 on the right, never exact
+    val ngramRows = (0 until n - 1).flatMap { i =>
+      val m = words(i) + words(i + 1)
+      Seq(
+        s"SELECT $i AS slot, v.term, 1 AS cost, 0 AS isexact FROM vocab v WHERE v.term = '$m'",
+        s"SELECT ${i + 1}, v.term, 0, 0 FROM vocab v WHERE v.term = '$m'")
+    }
+    val ngramUnion =
+      if (ngramRows.isEmpty) "" else ngramRows.mkString(" UNION ALL ", " UNION ALL ", "")
     s"""$TOK,
        |vocab AS (SELECT DISTINCT term FROM tf),
        |qs AS (SELECT * FROM (VALUES $qsVals) t(slot, w, budget)),
-       |deriv AS (
+       |deriv0 AS (
        |  SELECT q.slot, v.term,
        |    CASE WHEN v.term = q.w THEN 0
        |         WHEN substr(v.term,1,1) = substr(q.w,1,1) THEN levenshtein(v.term,q.w)
@@ -218,7 +247,10 @@ object SparkEntry {
        |  WHERE v.term = q.w OR (q.budget > 0
        |    AND abs(length(v.term) - length(q.w)) <= q.budget
        |    AND levenshtein(v.term, q.w) > 0
-       |    AND (CASE WHEN substr(v.term,1,1)=substr(q.w,1,1) THEN levenshtein(v.term,q.w) ELSE levenshtein(v.term,q.w)+1 END) <= q.budget)),
+       |    AND (CASE WHEN substr(v.term,1,1)=substr(q.w,1,1) THEN levenshtein(v.term,q.w) ELSE levenshtein(v.term,q.w)+1 END) <= q.budget)
+       |  $ngramUnion),
+       |deriv AS (SELECT slot, term, min(cost) AS cost, max(isexact) AS isexact
+       |  FROM deriv0 GROUP BY 1, 2),
        |sm AS (SELECT tf.doc_id, d.slot, min(d.cost) AS cost, max(d.isexact) AS isexact
        |       FROM tf JOIN deriv d USING(term) GROUP BY 1,2),
        |wr AS (SELECT t.doc_id,
@@ -447,6 +479,25 @@ object SparkEntry {
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_meili_rank" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50),
     "q_meili_typo" -> meiliOracleSql(Seq("spork", "merge"), 50),
+    "q_meili_ngram" -> meiliOracleSql(Seq("win", "dow"), 50),
+    "q_mixed" ->
+      s"""$TOK,
+         |${bmCte(Seq("batch", "spark", "merge"))},
+         |ph AS (SELECT DISTINCT a.doc_id FROM tok a
+         |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'spark' AND b.term = 'merge'),
+         |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id HAVING count(*) = 3)
+         |SELECT agg.doc_id AS doc_id, round(agg.s, 6) AS score
+         |FROM agg JOIN ph USING(doc_id)
+         |WHERE agg.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')
+         |ORDER BY round(agg.s, 6) DESC, agg.doc_id ASC LIMIT 20""".stripMargin,
+    "q_facet_search" ->
+      s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch'),
+         |vals AS (SELECT d.source AS value, count(*) AS n FROM documents d
+         |  JOIN cand USING(doc_id) GROUP BY d.source)
+         |SELECT value, n FROM vals
+         |WHERE value LIKE 'srcc1%' OR levenshtein(value, 'srcc1') <= 1
+         |ORDER BY n DESC, value ASC LIMIT 100""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -180,7 +180,10 @@ object IndexBuild {
       spark.read.parquet(s"$indexDir/postings")
         .groupBy($"term")
         .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
-        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
+        // len supports predicate-pushdown length-band loads (TermDict):
+        // typo expansion reads only |len(t)-len(w)| <= budget rows
+        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
+          length($"term").as("len"))
         .write.mode("overwrite").parquet(s"$indexDir/dict")
       Nil
     }
@@ -315,7 +318,8 @@ object IndexBuild {
     spark.read.parquet(s"$indexDir/postings")
       .groupBy($"term")
       .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
-      .select($"term", xxhash64($"term").as("termId"), $"df", $"cf")
+      .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
+        length($"term").as("len"))
       .write.mode("overwrite").parquet(s"$indexDir/dict")
     writeStats(spark, indexDir, cfg)
   }

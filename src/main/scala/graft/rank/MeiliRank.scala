@@ -4,20 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Tokenizer
+import graft.query.{ParsedQuery, QueryParser}
 import graft.search.{Levenshtein, SearchEngine}
 import graft.index.IndexBuild
 
 /** One query term slot with its derivations (reference QueryTerm:
   * zero-typo / one-typo / two-typo derivation sets,
-  * query_term/compute_derivations.rs:26-43). */
+  * query_term/compute_derivations.rs:26-43).
+  *
+  * @param derivations single-term derivations: (term, typoCost)
+  * @param phraseDerivs multi-word derivations matched by adjacency:
+  *   (words, typoCost) — split-words ("quickbrown" → quick+brown, cost
+  *   1, reference split_best_frequency compute_derivations.rs:388-408)
+  *   and multi-word synonyms (cost 0, compute_derivations.rs:223-241);
+  *   never exact
+  * @param noTypo slot came from a quoted phrase: exact form only
+  *   (reference: phrases are not typo-tolerant, parse_query.rs)
+  */
 final case class Slot(idx: Int, original: String,
-                      derivations: Seq[(String, Int)], // (term, typoCost)
-                      /** split-word derivation: the word written as two
-                        * adjacent dictionary words ("quickbrown" ->
-                        * quick+brown), costing one typo (reference
-                        * split_best_frequency,
-                        * query_term/compute_derivations.rs:388-408) */
-                      split: Option[(String, String)] = None)
+                      derivations: Seq[(String, Int)],
+                      phraseDerivs: Seq[(Seq[String], Int)] = Nil,
+                      noTypo: Boolean = false)
+
+/** Term-removal strategy for the words rule (reference
+  * TermsMatchingStrategy, milli/src/search/mod.rs:352; removal order
+  * search/new/mod.rs:219-248). */
+sealed trait TermsMatching
+object TermsMatching {
+  /** remove the LAST term first (default) */
+  case object Last extends TermsMatching
+  /** single bucket: docs matching every term */
+  case object All extends TermsMatching
+  /** remove the most document-frequent term first */
+  case object Frequency extends TermsMatching
+}
 
 /** The Meilisearch ranking-rule cascade, re-expressed as one multi-column
   * sort (reference: bucket_sort.rs:21-286 recursive bucket refinement ==
@@ -25,16 +45,20 @@ final case class Slot(idx: Int, original: String,
   * default order words, typo, proximity, attribute, sort, exactness).
   *
   * Per-rule rank construction mirrors score_details.rs:
-  *  - words: rank = matched-prefix length (TermsMatchingStrategy::Last
-  *    removes terms from the end, search/new/mod.rs:219-248)
+  *  - words: rank = matched-prefix length in KEEP order (the strategy's
+  *    reverse removal order; Last keeps query order,
+  *    search/new/mod.rs:219-248)
   *  - typo: cost = Σ typo cost of the cheapest matching derivation per
-  *    slot; budget 0/1/2 by word length (parse_query.rs:194-215); a
+  *    kept slot; budget 0/1/2 by word length (parse_query.rs:194-215); a
   *    first-letter typo counts as one extra (compute_derivations.rs
-  *    first-letter trick)
-  *  - proximity: cost = Σ over consecutive matched slots of the
+  *    first-letter trick); 2-gram merges of adjacent words cost n−1 = 1
+  *    (make_ngram parse_query.rs:217-283, typo/mod.rs:41-78)
+  *  - proximity: cost = Σ over original-adjacent kept slot pairs of the
   *    asymmetric pair distance clamped to [1,7], 8 when absent
-  *    (proximity.rs:7-15, extract MAX_DISTANCE 8 exclusive)
-  *  - attribute/position: cost = Σ bucketed first position per slot
+  *    (proximity.rs:7-15, extract MAX_DISTANCE 8 exclusive); pairs
+  *    spanning a removed slot contribute 0 (graph contraction
+  *    approximated optimistically)
+  *  - attribute/position: cost = Σ bucketed first position per kept slot
   *    (ranking_rule_graph/position cost table ~ log buckets,
   *    lib.rs:213-225)
   *  - exactness: exact-attribute bucket 3/2/1 (whole-field exact /
@@ -45,63 +69,107 @@ final case class Slot(idx: Int, original: String,
   * (score_details.rs:420-429): merge(outer, inner) =
   * ((outer.rank-1)*inner.maxRank + inner.rank) / (outer.max*inner.max) —
   * computed here as integer Column arithmetic, so it is exact.
+  *
+  * Query-string syntax (parse_query.rs:25-192): quoted phrases restrict
+  * the universe AND contribute exact-only slots; `-word`/`-"…"`
+  * negatives subtract from the universe (search/new/mod.rs:268-295).
   */
 final class MeiliRank(engine: SearchEngine,
                       synonyms: Map[String, Seq[String]] = Map.empty) {
   private val spark = engine.spark
   import spark.implicits._
 
-  /** Analyze a query into slots with typo-budgeted derivations against
-    * the broadcast dictionary (the FST analogue). Synonyms expand
-    * query-side only, at typo cost 0 but non-exact (reference X4,
-    * compute_derivations.rs:223-241). */
-  def analyze(q: String, lastIsPrefix: Boolean = false): Seq[Slot] = {
-    val words = Tokenizer.terms(q)
-    words.zipWithIndex.map { case (w, i) =>
-      val budget = Levenshtein.budgetFor(w)
+  def analyze(q: String, lastIsPrefix: Boolean = false): Seq[Slot] =
+    analyzeParsed(QueryParser.parse(q), lastIsPrefix)
+
+  /** Analyze a parsed query into slots with typo-budgeted derivations.
+    * ONE batched dictionary lookup covers every membership test (words,
+    * synonym expansions, split candidates, ngram merges) — in large-dict
+    * mode a single pushed-down IN scan; typo derivations come from the
+    * Levenshtein-automaton walk (sub-linear in vocabulary). */
+  def analyzeParsed(pq: ParsedQuery, lastIsPrefix: Boolean = false): Seq[Slot] = {
+    val flagged: Seq[(String, Boolean)] =
+      pq.posTokens.flatMap(t => t.terms.map(w => (w, t.phrase)))
+    val words = flagged.map(_._1)
+    val synExp = words.flatMap(w =>
+      synonyms.getOrElse(w, Nil).flatMap(Tokenizer.terms))
+    val splitParts = flagged.flatMap { case (w, ph) =>
+      if (ph) Nil
+      else (1 until w.length).flatMap(i => Seq(w.substring(0, i), w.substring(i)))
+    }
+    // 2-gram merges of adjacent bag words (reference make_ngram)
+    val ngrams: Seq[(Int, String)] = flagged.zipWithIndex.sliding(2).collect {
+      case Seq(((a, false), i), ((b, false), _)) => (i, a + b)
+    }.toSeq
+    val known = engine.td.lookup(
+      (words ++ synExp ++ splitParts ++ ngrams.map(_._2)).distinct)
+
+    val base = flagged.zipWithIndex.map { case ((w, isPhrase), i) =>
       val derivs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-      if (engine.dict.contains(w)) derivs(w) = 0
-      synonyms.getOrElse(w, Nil).foreach { s =>
-        val sn = Tokenizer.normalize(s)
-        if (engine.dict.contains(sn) && !derivs.contains(sn)) derivs(sn) = 0
-      }
-      // prefix expansion for the last word (cost 0, reference X5)
-      if (lastIsPrefix && i == words.length - 1)
-        engine.prefixTerms(w).foreach(t => if (!derivs.contains(t)) derivs(t) = 0)
-      if (budget > 0) {
-        engine.sortedTerms.foreach { t =>
-          if (!derivs.contains(t) && math.abs(t.length - w.length) <= budget) {
-            val d = Levenshtein(w, t)
-            if (d > 0 && d <= budget) {
+      val phraseDerivs = Vector.newBuilder[(Seq[String], Int)]
+      if (known.contains(w)) derivs(w) = 0
+      if (!isPhrase) {
+        val budget = Levenshtein.budgetFor(w)
+        synonyms.getOrElse(w, Nil).foreach { s =>
+          val ts = Tokenizer.terms(s)
+          if (ts.size == 1) {
+            if (known.contains(ts.head) && !derivs.contains(ts.head))
+              derivs(ts.head) = 0
+          } else if (ts.nonEmpty && ts.forall(known.contains))
+            phraseDerivs += ((ts, 0)) // multi-word synonym, cost 0
+        }
+        // prefix expansion for the last word (cost 0, reference X5)
+        if (lastIsPrefix && i == flagged.length - 1)
+          engine.prefixTerms(w).foreach(t => if (!derivs.contains(t)) derivs(t) = 0)
+        if (budget > 0) {
+          engine.typoCandidates(w, budget).foreach { case (t, d) =>
+            if (d > 0 && !derivs.contains(t)) {
               // first-letter typo counts as one extra typo
               val eff = if (t.head != w.head) d + 1 else d
               if (eff <= budget) derivs(t) = eff
             }
           }
         }
+        if (derivs.isEmpty)
+          splitBest(w, known.contains).foreach(p => phraseDerivs += ((List(p._1, p._2), 1)))
       }
-      val split = if (derivs.isEmpty) splitBest(w) else None
-      Slot(i, w, derivs.toSeq, split)
+      Slot(i, w, derivs.toSeq, phraseDerivs.result(), noTypo = isPhrase)
+    }
+    // attach ngram derivations: the merged compound covers BOTH slots —
+    // cost 1 (= n−1) on the left, 0 on the right, never exact
+    val ngramBySlot = ngrams.filter(n => known.contains(n._2))
+    if (ngramBySlot.isEmpty) base
+    else base.map { s =>
+      val extra =
+        ngramBySlot.collect { case (i, m) if i == s.idx => (m, 1) } ++
+          ngramBySlot.collect { case (i, m) if i + 1 == s.idx => (m, 0) }
+      if (extra.isEmpty) s
+      else {
+        val d = scala.collection.mutable.LinkedHashMap(s.derivations: _*)
+        extra.foreach { case (t, c) => if (!d.contains(t) || d(t) > c) d(t) = c }
+        s.copy(derivations = d.toSeq)
+      }
     }
   }
 
   /** Best (l, r) split of an unknown word into two dictionary words, by
     * frequency of their adjacency (pair proximity 1) — reference
     * split_best_frequency. Ties break toward the lexicographically
-    * smallest left part (deterministic). */
-  def splitBest(word: String): Option[(String, String)] = {
+    * smallest left part (deterministic). All candidates are counted in
+    * ONE Spark job (adjacencyCounts), not one job per split. */
+  def splitBest(word: String,
+                inDict: String => Boolean = engine.td.contains): Option[(String, String)] = {
     val cands = (1 until word.length)
       .map(i => (word.substring(0, i), word.substring(i)))
-      .filter { case (l, r) => engine.dict.contains(l) && engine.dict.contains(r) }
+      .filter { case (l, r) => inDict(l) && inDict(r) }
       .sortBy(_._1)
     if (cands.isEmpty) None
     else if (cands.size == 1) Some(cands.head)
     else {
-      val counted = cands.map { case (l, r) =>
-        ((l, r), engine.phrase(Seq(l, r)).count())
-      }
-      val best = counted.maxBy(_._2) // stable: first max in sorted order
-      if (best._2 > 0) Some(best._1) else Some(counted.head._1)
+      val counts = engine.adjacencyCounts(cands)
+      val best = cands.map(c => (c, counts.getOrElse(c, 0L)))
+        .maxBy(_._2) // stable: first max in sorted order
+      if (best._2 > 0) Some(best._1) else Some(cands.head)
     }
   }
 
@@ -114,35 +182,35 @@ final class MeiliRank(engine: SearchEngine,
     val empty = spark.range(0)
       .select($"id".cast("int").as("docId"), lit(0).as("slot"),
         lit(0).as("typoCost"), lit(0).as("exact"))
-    if (derivRows.isEmpty && slots.forall(_.split.isEmpty)) return empty
+    if (derivRows.isEmpty && slots.forall(_.phraseDerivs.isEmpty)) return empty
     val direct = if (derivRows.isEmpty) empty else {
       val dt = derivRows.toDF("term", "slot", "cost", "isExact")
       val terms = derivRows.map(_._1).distinct
-      val qts = terms.map(t => graft.search.QueryTerm(t, engine.dict(t), 0.0,
+      // df=0: only term+bucket feed the pruned posting scan
+      val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
         IndexBuild.bucketOf(t, engine.termBuckets)))
       engine.decoded(qts).toDF()
         .join(broadcast(dt), Seq("term"))
         .groupBy($"docId", $"slot")
         .agg(min($"cost").as("typoCost"), max($"isExact").as("exact"))
     }
-    // split-word derivations: the slot matches where l and r occur
-    // adjacently; counts as one typo, never exact
-    val splitDfs = slots.collect { case s if s.split.isDefined =>
-      val (l, r) = s.split.get
-      engine.phrase(Seq(l, r))
+    // phrase derivations (split words, multi-word synonyms): the slot
+    // matches where the words occur adjacently; never exact
+    val phraseDfs = slots.flatMap(s => s.phraseDerivs.map { case (ws, cost) =>
+      engine.phrase(ws)
         .select($"docId", lit(s.idx).as("slot"),
-          lit(1).as("typoCost"), lit(0).as("exact"))
-    }
-    splitDfs.foldLeft(direct)((acc, d) => acc.unionByName(d))
+          lit(cost).as("typoCost"), lit(0).as("exact"))
+    })
+    phraseDfs.foldLeft(direct)((acc, d) => acc.unionByName(d))
       .groupBy($"docId", $"slot")
       .agg(min($"typoCost").as("typoCost"), max($"exact").as("exact"))
   }
 
-  /** (docId, slot, pos) exploded positions for all derivations (split
-    * derivations contribute the left word's positions). */
+  /** (docId, slot, pos) exploded positions for all derivations (phrase
+    * derivations contribute the first word's positions). */
   private def slotPositions(slots: Seq[Slot]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)) ++
-      s.split.map(sp => (sp._1, s.idx)))
+      s.phraseDerivs.map(pd => (pd._1.head, s.idx)))
     val dt = derivRows.toDF("term", "slot")
     engine.positionsFor(derivRows.map(_._1).distinct)
       .join(broadcast(dt), Seq("term"))
@@ -156,32 +224,61 @@ final class MeiliRank(engine: SearchEngine,
              filterExpr: Option[String] = None,
              sortBy: Option[(String, Boolean)] = None,
              distinct: Option[String] = None,
-             lastIsPrefix: Boolean = false): DataFrame = {
-    val slots = analyze(q, lastIsPrefix)
+             lastIsPrefix: Boolean = false,
+             strategy: TermsMatching = TermsMatching.Last,
+             scoreThreshold: Option[Double] = None): DataFrame = {
+    val pq = QueryParser.parse(q)
+    val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
-    if (n == 0 || slots.forall(s => s.derivations.isEmpty && s.split.isEmpty))
+    if (n == 0 || slots.forall(s => s.derivations.isEmpty && s.phraseDerivs.isEmpty))
       return engine.docs.limit(0)
         .select($"docId", lit(0).as("rankingScore"))
-    val matches = slotMatches(slots)
 
-    // words rank: longest fully-matched prefix of slots (strategy Last)
-    val slotsArr = sort_array(collect_list(struct($"slot", $"typoCost", $"exact")))
-    val perDoc = matches.groupBy($"docId").agg(slotsArr.as("sl"))
+    // keep-order permutation: kpos(slot) < wordsRank ⟺ slot is kept.
+    // Last: query order. Frequency: least-frequent kept longest
+    // (reference removes the most document-frequent first).
+    val kposArr: Array[Int] = strategy match {
+      case TermsMatching.Frequency =>
+        val dfs = engine.td.lookup(slots.map(_.original).distinct)
+        val kp = new Array[Int](n)
+        slots.sortBy(s => (dfs.getOrElse(s.original, 0L), s.idx.toLong))
+          .zipWithIndex.foreach { case (s, kpos) => kp(s.idx) = kpos }
+        kp
+      case _ => Array.tabulate(n)(identity)
+    }
+    val kposMap = typedLit(kposArr.zipWithIndex.map { case (kp, slot) => slot -> kp }.toMap)
+
+    val matches0 = slotMatches(slots)
+    // quoted phrases / negatives restrict the universe (docId level)
+    val (phraseDocs, negDocs) = engine.syntaxDocs(pq)
+    val matches1 = phraseDocs.fold(matches0)(p =>
+      matches0.join(p.select($"docId"), Seq("docId"), "left_semi"))
+    val matches = negDocs.fold(matches1)(nd =>
+      matches1.join(nd, Seq("docId"), "left_anti"))
+
+    // words rank: longest fully-matched prefix in keep order
+    val slotsArr = sort_array(collect_list(struct($"kpos", $"typoCost", $"exact")))
+    val perDoc0 = matches
+      .withColumn("kpos", element_at(kposMap, $"slot"))
+      .groupBy($"docId").agg(slotsArr.as("sl"))
       .withColumn("wordsRank",
         aggregate(sequence(lit(0), lit(n - 1)), lit(0),
           (acc, i) => when(acc === i &&
-            exists($"sl", x => x.getField("slot") === i), acc + 1).otherwise(acc)))
+            exists($"sl", x => x.getField("kpos") === i), acc + 1).otherwise(acc)))
       .filter($"wordsRank" >= 1)
-      // typo cost over the matched prefix only
       .withColumn("typoCost",
-        aggregate(filter($"sl", x => x.getField("slot") < $"wordsRank"),
+        aggregate(filter($"sl", x => x.getField("kpos") < $"wordsRank"),
           lit(0), (acc, x) => acc + x.getField("typoCost")))
       .withColumn("exactWords",
-        aggregate(filter($"sl", x => x.getField("slot") < $"wordsRank"),
+        aggregate(filter($"sl", x => x.getField("kpos") < $"wordsRank"),
           lit(0), (acc, x) => acc + x.getField("exact")))
+    val perDoc = strategy match {
+      case TermsMatching.All => perDoc0.filter($"wordsRank" === n)
+      case _ => perDoc0
+    }
 
-    // proximity: min pair distance per consecutive slot pair, within the
-    // matched prefix; absent pair (beyond cap) costs 8
+    // proximity: min pair distance per original-adjacent kept slot pair;
+    // absent pair (beyond cap) costs 8; pairs with a removed endpoint 0
     val withProx = if (n >= 2) {
       val pos = slotPositions(slots)
       val a = pos.toDF("docId", "s1", "p1")
@@ -193,31 +290,34 @@ final class MeiliRank(engine: SearchEngine,
         .groupBy($"docId", $"s1")
         .agg(least(min($"d"), lit(8)).as("pairProx"))
         .groupBy($"docId")
-        .agg(sort_array(collect_list(struct($"s1", $"pairProx"))).as("pp"))
+        .agg(map_from_entries(sort_array(collect_list(struct($"s1", $"pairProx"))))
+          .as("pp"))
+      val proxSum = (0 until n - 1).map { i =>
+        when(lit(kposArr(i)) < $"wordsRank" && lit(kposArr(i + 1)) < $"wordsRank",
+          coalesce(element_at($"pp", i), lit(8))).otherwise(lit(0))
+      }.reduce(_ + _)
       perDoc.join(pairs, Seq("docId"), "left")
-        .withColumn("proxCost",
-          when($"wordsRank" < 2, lit(0)).otherwise(
-            aggregate(sequence(lit(0), $"wordsRank" - 2), lit(0), (acc, i) =>
-              acc + coalesce(
-                element_at(map_from_entries($"pp"), i), lit(8)))))
+        .withColumn("proxCost", proxSum)
         .drop("pp")
     } else perDoc.withColumn("proxCost", lit(0))
 
-    // attribute/position: sum of bucketed first positions over the prefix
+    // attribute/position: sum of bucketed first positions over kept slots
     val posRank = {
       val pos = slotPositions(slots)
       val bucketUdf = udf((p: Int) => Tokenizer.bucketPosition(p))
       pos.groupBy($"docId", $"slot").agg(min($"pos").as("minPos"))
         .withColumn("posBucket", bucketUdf($"minPos"))
         .groupBy($"docId")
-        .agg(sort_array(collect_list(struct($"slot", $"posBucket"))).as("pb"),
+        .agg(map_from_entries(sort_array(collect_list(struct($"slot", $"posBucket"))))
+          .as("pb"),
           min(when($"slot" === 0, $"minPos")).as("firstSlotPos"))
     }
+    val posSum = (0 until n).map { i =>
+      when(lit(kposArr(i)) < $"wordsRank",
+        coalesce(element_at($"pb", i), lit(0))).otherwise(lit(0))
+    }.reduce(_ + _)
     val withPos = withProx.join(posRank, Seq("docId"), "left")
-      .withColumn("posCost",
-        aggregate(filter(coalesce($"pb", array()),
-          x => x.getField("slot") < $"wordsRank"),
-          lit(0), (acc, x) => acc + x.getField("posBucket")))
+      .withColumn("posCost", posSum)
 
     // exactness: whole-attribute exact (len == n and phrase at pos 0),
     // starts-with, other
@@ -232,7 +332,9 @@ final class MeiliRank(engine: SearchEngine,
           .otherwise(1))
 
     // ---- rank columns -> mixed-radix global score ----------------------
-    val maxTypo = slots.map(s => Levenshtein.budgetFor(s.original)).sum
+    // maxTypo budget includes +1 per slot: split-word and ngram
+    // derivations cost 1 beyond the word's own typo budget
+    val maxTypo = slots.map(s => Levenshtein.budgetFor(s.original)).sum + n
     val maxProx = 8 * math.max(n - 1, 0)
     val maxPos = 48 * n
     val rules: Seq[(Column, Int)] = Seq( // (rank, maxRank) per rule
@@ -246,8 +348,11 @@ final class MeiliRank(engine: SearchEngine,
       case ((accR, accM), (r, m)) =>
         ((accR - 1L) * m + r.cast("long"), accM * m)
     }
-    val scored = phraseStart
+    val scored0 = phraseStart
       .withColumn("rankingScore", mergedRank.cast("double") / lit(mergedMax.toDouble))
+    // rankingScoreThreshold (reference bucket_sort.rs:242-258)
+    val scored = scoreThreshold.fold(scored0)(t =>
+      scored0.filter($"rankingScore" >= t))
 
     // filter / distinct / sort / top-k
     val filtered = filterExpr match {

@@ -33,7 +33,9 @@ final case class Hit(docId: Int, score: Double)
   * Tie-break invariant: equal scores → ascending docId (reference
   * bucket_sort.rs:343-364).
   */
-final class SearchEngine(val spark: SparkSession, val indexDir: String) extends Serializable {
+final class SearchEngine(val spark: SparkSession, val indexDir: String,
+                         val broadcastDfCap: Long = SearchEngine.BroadcastDfCap)
+    extends Serializable {
   import spark.implicits._
 
   // ---- loaded-once index metadata (the FST/dictionary analogue) -------
@@ -44,23 +46,48 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
   val termBuckets: Int = stats("termBuckets").toInt
   val docsPerShard: Int = stats("docsPerShard").toInt
 
-  /** Sorted term dictionary, broadcast: the reference keeps an FST over
-    * all words for typo/prefix expansion (index.rs:62); we broadcast a
-    * sorted array + df map. Small relative to the corpus (terms grow
-    * ~log of corpus size; for true web scale this would be bucketed by
-    * prefix and loaded lazily). */
-  lazy val dict: Map[String, Long] =
-    spark.read.parquet(s"$indexDir/dict").select($"term", $"df")
-      .as[(String, Long)].collect().toMap
-  lazy val sortedTerms: Array[String] = dict.keys.toArray.sorted
+  /** Dictionary access: full in-memory map below TermDict's threshold,
+    * predicate-pushdown bucketed loads (length bands, prefixes, IN
+    * lists) above it — the driver never holds a web-scale vocabulary. */
+  val td = new graft.index.TermDict(spark, s"$indexDir/dict")
+
+  /** Small-mode convenience view (tests, tooling). Throws above the
+    * TermDict threshold by design — engine paths use `td`. */
+  lazy val dict: Map[String, Long] = td.fullMap.getOrElse(
+    throw new IllegalStateException("dictionary too large to collect; use td"))
 
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
 
-  def analyze(q: String): Seq[QueryTerm] =
-    Tokenizer.terms(q).distinct.flatMap { t =>
-      dict.get(t).map(df =>
+  /** Dictionary-resolved QueryTerms for already-tokenized terms. */
+  def termsOf(ts: Seq[String]): Seq[QueryTerm] = {
+    val dts = ts.distinct
+    val dfs = td.lookup(dts)
+    dts.flatMap { t =>
+      dfs.get(t).map(df =>
         QueryTerm(t, df, BM25.idf(df, nDocs), IndexBuild.bucketOf(t, termBuckets)))
     }
+  }
+
+  /** Query analysis: quoted phrases and `-` negatives are parsed from
+    * the query string (reference parse_query.rs:25-192); all positive
+    * terms (bag + phrase words) participate in ranking. */
+  def analyze(q: String): Seq[QueryTerm] =
+    termsOf(graft.query.QueryParser.parse(q).positiveTerms)
+
+  /** Universe restrictions implied by query syntax: docs that contain
+    * every quoted phrase (semi-join side) and docs matching any negative
+    * word/phrase (anti-join side, reference search/new/mod.rs:268-295). */
+  private[graft] def syntaxDocs(pq: graft.query.ParsedQuery)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val pos = pq.phrases.map(phrase)
+      .reduceOption((a, b) => a.join(b, Seq("docId"), "left_semi"))
+    val negWordDocs =
+      if (pq.negWords.isEmpty) Nil
+      else Seq(decoded(termsOf(pq.negWords)).toDF().select($"docId"))
+    val negs = (negWordDocs ++ pq.negPhrases.map(ws => phrase(ws).select($"docId")))
+      .reduceOption(_.unionByName(_))
+    (pos, negs.map(_.distinct()))
+  }
 
   /** Posting blocks for the given terms: bucket partition pruning + term
     * predicate pushed down to the parquet scan. */
@@ -85,19 +112,34 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
     * search/new/mod.rs:590-601). */
   def searchDF(q: String, k: Int, conjunctive: Boolean = true,
                candidates: Option[DataFrame] = None): DataFrame = {
-    val terms = analyze(q)
+    val pq = graft.query.QueryParser.parse(q)
+    val terms = termsOf(pq.positiveTerms)
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
     val idfDf = terms.map(t => (t.term, t.idf)).toDF("term", "idf")
     val base = decoded(terms).toDF()
-    val universe = candidates match {
+    val afterCand = candidates match {
       case Some(c) => base.join(broadcast(c.select($"docId")), Seq("docId"), "left_semi")
       case None => base
     }
-    // per-query postings are small → broadcast THEM into the doclen
-    // lookup join (docs table on the probe side), so the 10^12-row docs
-    // table is never shuffled or broadcast
+    // quoted phrases / negative terms restrict the universe BEFORE
+    // scoring (filter-before-rank; per-doc BM25 is universe-independent)
+    val (phraseDocs, negDocs) = syntaxDocs(pq)
+    val afterPhrase = phraseDocs.fold(afterCand)(p =>
+      afterCand.join(p.select($"docId"), Seq("docId"), "left_semi"))
+    val universe = negDocs.fold(afterPhrase)(nd =>
+      afterPhrase.join(nd, Seq("docId"), "left_anti"))
+    // cost-gated join strategy: typical-query postings are small →
+    // broadcast THEM into the doclen lookup join (docs table on the
+    // probe side; the 10^12-row docs table is never shuffled). But a
+    // stop-word term's postings are O(corpus) — broadcasting them OOMs
+    // the executors at scale, so above the Σdf cap the join shuffles
+    // (and high-df queries should prefer searchWand, which never
+    // materializes per-doc posting rows at all).
+    val joined = universe.join(broadcast(idfDf), Seq("term"))
+    val postingRows = terms.map(_.df).sum
     val withLen = docs.select($"docId", $"len")
-      .join(broadcast(universe.join(broadcast(idfDf), Seq("term"))), Seq("docId"))
+      .join(if (postingRows <= broadcastDfCap) broadcast(joined) else joined,
+        Seq("docId"))
       .withColumn("tscore", $"idf" * $"tf" * lit(BM25.K1 + 1.0) /
         ($"tf" + lit(BM25.K1) * (lit(1.0 - BM25.B) + lit(BM25.B) * $"len" / lit(avgdl))))
     // deterministic f64 evaluation order: sum per-term scores in
@@ -113,8 +155,13 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
   }
 
   /** Block-max WAND search: per-shard top-k inside mapGroups (the only
-    * imperative operator on the read path), exact global merge. */
+    * imperative operator on the read path), exact global merge. Queries
+    * carrying phrase/negative syntax delegate to the declarative plan
+    * (per-shard pruning cannot see cross-shard universe restrictions
+    * without losing top-k exactness). */
   def searchWand(q: String, k: Int, conjunctive: Boolean = true): DataFrame = {
+    val pq = graft.query.QueryParser.parse(q)
+    if (!pq.isPlain) return searchDF(q, k, conjunctive)
     val terms = analyze(q)
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
     val termStats = terms.map(t => t.term -> t.idf).toMap
@@ -142,12 +189,18 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
   /** Universe of docids matching the query (no ranking): the
     * "resolve_universe" step of the reference (search/new/mod.rs:781). */
   def candidates(q: String, conjunctive: Boolean = true): DataFrame = {
-    val terms = analyze(q)
+    val pq = graft.query.QueryParser.parse(q)
+    val terms = termsOf(pq.positiveTerms)
     if (terms.isEmpty) return spark.range(0).select($"id".cast("int").as("docId"))
     val agg = decoded(terms).toDF().groupBy($"docId")
       .agg(count(lit(1)).as("nMatched"))
     val f = if (conjunctive) agg.filter($"nMatched" === terms.size) else agg
-    f.select($"docId")
+    val (phraseDocs, negDocs) = syntaxDocs(pq)
+    val afterPhrase = phraseDocs.fold(f)(p =>
+      f.join(p.select($"docId"), Seq("docId"), "left_semi"))
+    negDocs.fold(afterPhrase)(nd =>
+      afterPhrase.join(nd, Seq("docId"), "left_anti"))
+      .select($"docId")
   }
 
   /** Facet distribution: value -> doc count over the query's candidates
@@ -216,47 +269,64 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
   }
 
   /** Prefix expansion: all dictionary terms starting with `prefix`
-    * (reference on-the-fly word-range scan, compute_derivations.rs:45-78),
-    * and their union of docs with per-doc count of matched derivations. */
-  def prefixTerms(prefix: String): Seq[String] = {
-    val p = Tokenizer.normalize(prefix)
-    // binary search the sorted broadcast dictionary for the prefix range
-    val arr = sortedTerms
-    var lo = java.util.Arrays.binarySearch(arr.asInstanceOf[Array[AnyRef]], p)
-    if (lo < 0) lo = -lo - 1
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = lo
-    while (i < arr.length && arr(i).startsWith(p)) { out += arr(i); i += 1 }
-    out.toSeq
-  }
+    * (reference on-the-fly word-range scan, compute_derivations.rs:45-78)
+    * — a pushed-down range load in large-dict mode. */
+  def prefixTerms(prefix: String): Seq[String] =
+    td.withPrefix(Tokenizer.normalize(prefix)).map(_._1).toSeq
 
   def prefixSearch(prefix: String): DataFrame = {
-    val ts = prefixTerms(prefix).map(t =>
-      QueryTerm(t, dict(t), BM25.idf(dict(t), nDocs), IndexBuild.bucketOf(t, termBuckets)))
+    val ts = td.withPrefix(Tokenizer.normalize(prefix)).map { case (t, df) =>
+      QueryTerm(t, df, BM25.idf(df, nDocs), IndexBuild.bucketOf(t, termBuckets))
+    }.toSeq
     if (ts.isEmpty) return spark.range(0)
       .select($"id".cast("int").as("docId"), lit(0L).as("nTerms"))
     decoded(ts).toDF().groupBy($"docId")
       .agg(countDistinct($"term").as("nTerms"))
   }
 
-  /** Typo expansion: dictionary terms within `maxDist` edits (reference
-    * Levenshtein-DFA ∩ words-FST, compute_derivations.rs:80-165; here a
-    * banded DP over the broadcast dictionary — same result set). */
-  def typoTerms(word: String, maxDist: Int): Seq[String] = {
+  /** Typo expansion: dictionary (term, distance) pairs within `maxDist`
+    * edits (reference Levenshtein-DFA ∩ words-FST,
+    * compute_derivations.rs:80-165). The walk visits only dictionary
+    * prefixes still within the edit budget — sub-linear in vocabulary
+    * size — over the query word's length band (|len(t)-len(w)| ≤ budget
+    * is a necessary condition, so only that band is even loaded). */
+  def typoCandidates(word: String, maxDist: Int): Seq[(String, Int)] = {
     val w = Tokenizer.normalize(word)
-    sortedTerms.iterator
-      .filter(t => math.abs(t.length - w.length) <= maxDist)
-      .filter(t => Levenshtein(w, t) <= maxDist)
-      .toSeq
+    val (terms, _) = td.lengthBand(math.max(1, w.length - maxDist), w.length + maxDist)
+    LevWalk(terms, w, maxDist)
   }
+
+  def typoTerms(word: String, maxDist: Int): Seq[String] =
+    typoCandidates(word, maxDist).map(_._1)
 
   def typoSearch(word: String, maxDist: Int): DataFrame = {
-    val ts = typoTerms(word, maxDist).map(t =>
-      QueryTerm(t, dict(t), BM25.idf(dict(t), nDocs), IndexBuild.bucketOf(t, termBuckets)))
+    val matched = typoTerms(word, maxDist)
+    val dfs = td.lookup(matched)
+    val ts = matched.map(t =>
+      QueryTerm(t, dfs(t), BM25.idf(dfs(t), nDocs), IndexBuild.bucketOf(t, termBuckets)))
     if (ts.isEmpty) return spark.range(0)
       .select($"id".cast("int").as("docId"), lit(0L).as("nTerms"))
     decoded(ts).toDF().groupBy($"docId")
       .agg(countDistinct($"term").as("nTerms"))
+  }
+
+  /** Adjacent-pair doc counts for MANY (left, right) word pairs in ONE
+    * job (reference split_best_frequency consults the pair-proximity-1
+    * table per candidate, compute_derivations.rs:388-408 — the naive
+    * re-expression ran one Spark job per candidate split, serializing
+    * query analysis). */
+  def adjacencyCounts(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (pairs.isEmpty) return Map.empty
+    val words = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val pos = positionsFor(words)
+      .select($"term", $"docId", explode($"positions").as("p"))
+    val pdf = broadcast(pairs.toDF("l", "r"))
+    pdf.join(pos.toDF("l", "docId", "p1"), Seq("l"))
+      .join(pos.toDF("r", "docId", "p2"), Seq("r", "docId"))
+      .where($"p2" === $"p1" + 1)
+      .select($"l", $"r", $"docId").distinct()
+      .groupBy($"l", $"r").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
   }
 
   /** Field distribution: field name -> count of docs with a value
@@ -336,4 +406,12 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String) extends 
       .select($"docId", $"score", $"repo", $"path", $"commit", $"lang")
       .orderBy($"score".desc, $"docId".asc)
   }
+}
+
+object SearchEngine {
+  /** Σdf above which per-query postings stop being broadcast into the
+    * doclen join: ~4M posting rows ≈ tens of MB serialized, a safe
+    * executor broadcast; a skewed stop-word term (df ≈ 40% of corpus)
+    * exceeds it immediately and routes to the shuffle join instead. */
+  final val BroadcastDfCap: Long = 4L << 20
 }

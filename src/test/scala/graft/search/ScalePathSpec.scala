@@ -1,0 +1,106 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuild, IndexConfig, TermDict}
+
+/** Specs for the scale-path mechanics: the Levenshtein-automaton walk
+  * (sub-linear typo expansion), the bucketed dictionary loader, and the
+  * cost-gated BM25 join (no posting broadcast above the Σdf cap). */
+class ScalePathSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- LevWalk ---------------------------------------------------------
+
+  test("LevWalk matches the naive banded scan exactly") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 3000).map(_ =>
+      (1 to (3 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+      .distinct.sorted.toArray
+    val words = Seq("abc", "abcdef", "fedcba", "aaaa", "zzz", "abcabcabc")
+    for (w <- words; d <- 0 to 2) {
+      val got = LevWalk(vocab, w, d).toMap
+      val want = vocab.iterator
+        .map(t => t -> Levenshtein(w, t)).filter(_._2 <= d).toMap
+      assert(got == want, s"w=$w d=$d")
+    }
+  }
+
+  test("LevWalk visits sub-linearly many nodes on a large dictionary") {
+    // 10^6-term synthetic vocabulary over a wide alphabet
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.fill(1000000)(
+      (1 to (4 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct.sorted.asInstanceOf[Array[String]]
+    val res = LevWalk(vocab, "serendipity", 2)
+    val visited = LevWalk.visitedNodes
+    assert(visited > 0)
+    // the old implementation looked at every term; the walk must prune
+    // to a small fraction of the trie (empirically ~1-3% here)
+    assert(visited < vocab.length / 10,
+      s"visited $visited of ${vocab.length} — walk is not pruning")
+    // sanity: it still finds whatever is there to find
+    val naive = vocab.count(t => math.abs(t.length - 11) <= 2 && Levenshtein("serendipity", t) <= 2)
+    assert(res.size == naive)
+  }
+
+  // ---- TermDict bucketed mode -------------------------------------------
+
+  lazy val dictIdx: String = {
+    val dir = Files.createTempDirectory("tdspec").toString
+    IndexBuild.build(spark, CorpusGen.generate(spark, 300).as[graft.corpus.SourceFile],
+      dir, IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
+        numPartitions = 4))
+    dir
+  }
+
+  test("TermDict bucketed mode (no full collect) equals small mode") {
+    val small = new TermDict(spark, s"$dictIdx/dict")
+    val big = new TermDict(spark, s"$dictIdx/dict", collectThreshold = 0)
+    assert(big.fullMap.isEmpty, "above threshold the dict must not be collected")
+    val m = small.fullMap.get
+    val probe = m.keys.take(5).toSeq :+ "notaterm"
+    assert(big.lookup(probe) == small.lookup(probe))
+    val (bt, bd) = big.lengthBand(4, 7)
+    val (st, sd) = small.lengthBand(4, 7)
+    assert(bt.toSeq == st.toSeq && bd.toSeq == sd.toSeq)
+    assert(bt.forall(t => t.length >= 4 && t.length <= 7))
+    assert(big.withPrefix("re").toSeq == small.withPrefix("re").toSeq)
+  }
+
+  test("typo and prefix engine paths work against the bucketed dict") {
+    val e = new SearchEngine(spark, dictIdx)
+    val viaWalk = e.typoCandidates("retur", 1).map(_._1).toSet
+    val naive = e.dict.keys.filter(t => Levenshtein("retur", t) <= 1).toSet
+    assert(viaWalk == naive)
+  }
+
+  // ---- cost-gated BM25 join ---------------------------------------------
+
+  test("BM25 join broadcasts postings only under the df cap") {
+    val eBroadcast = new SearchEngine(spark, dictIdx)
+    val eShuffle = new SearchEngine(spark, dictIdx, broadcastDfCap = 0L)
+    // skewed stop-term query: 'return' appears in ~most docs
+    val q = "return import"
+    val pBroadcast = eBroadcast.searchDF(q, 10).queryExecution.executedPlan.toString
+    assert(pBroadcast.contains("BroadcastHashJoin"))
+    // above the cap: simulate scale (where size stats would forbid any
+    // auto-broadcast of the 10^12-row docs table) by disabling the
+    // size-based fallback; the doclen join must then shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pShuffle = eShuffle.searchDF(q, 10).queryExecution.executedPlan.toString
+      assert(pShuffle.contains("SortMergeJoin") || pShuffle.contains("ShuffledHashJoin"),
+        s"above the cap the doclen join must shuffle, not broadcast:\n$pShuffle")
+      // identical results either way
+      val a = eBroadcast.searchDF(q, 10).as[(Int, Double)].collect().toSeq
+      val b = eShuffle.searchDF(q, 10).as[(Int, Double)].collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
