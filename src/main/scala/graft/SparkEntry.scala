@@ -154,9 +154,15 @@ object SparkEntry {
     // ---- similarity search ---------------------------------------------
     "q_knn" -> ((s, dir) =>
       Similarity.cosineTopK(embDf(s, dir), "vec_id", "embedding", 0L, 10)),
-    "q_knn_lsh" -> ((s, dir) => // rows-only: approximate path
-      Similarity.lshTopK(s, embDf(s, dir), "vec_id", "embedding", 0L, 10,
-        nPlanes = 4)),
+    "q_knn_lsh" -> ((s, dir) => { // rows-only: approximate path
+      // persisted bucket-partitioned LSH index, built once per sf dir
+      // (the scale path: queries read only probed bucket partitions)
+      val idxDir = s"/tmp/graft-lshidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
+        Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
+          idxDir, nPlanes = 4)
+      Similarity.lshIndexTopK(s, idxDir, 0L, 10)
+    }),
     // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
     "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
     "q_meili_typo" -> ((s, dir) => meiliQuery(s, dir, "spork merge")),
@@ -177,6 +183,15 @@ object SparkEntry {
       DocIndex.engine(s, dir) // buildFromTable maps source -> repo
         .facetSearch("batch", "repo", "srcc1", typoTolerant = true)
         .select(col("value"), col("n"))),
+    // ---- hybrid keyword + semantic merge (R8) ---------------------------
+    "q_hybrid" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+      graft.search.Hybrid.search(mr, embDf(s, dir), "vec_id", "embedding",
+        "spark merge", queryVecId = 0L, ratio = 0.5, k = 20)
+        .select(col("docId").cast("long").as("doc_id"),
+          col("hybridScore").as("hybrid_score"),
+          col("kwScore").as("kw_score"), col("semScore").as("sem_score"))
+    }),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -213,7 +228,7 @@ object SparkEntry {
   /** DuckDB oracle for the rule cascade: same slot/derivation/typo-
     * budget/proximity/position/exactness logic in pure SQL (integers
     * end-to-end, so the comparison is exact). */
-  private def meiliOracleSql(words: Seq[String], k: Int): String = {
+  private def meiliCtes(words: Seq[String]): String = {
     val budgets = words.map(graft.search.Levenshtein.budgetFor)
     val n = words.length
     // +n: split-word and 2-gram-merge derivations cost 1 beyond the
@@ -282,18 +297,24 @@ object SparkEntry {
        |fin AS (SELECT b.doc_id, b.words_rank, b.typo_cost, x.prox_cost, p.pos_cost, b.exact_words,
        |    CASE WHEN b.words_rank=$n AND b.exact_words=$n AND p.first_pos=0 AND x.prox_cost<=${n - 1}
        |         THEN (CASE WHEN dl.len=$n THEN 3 ELSE 2 END) ELSE 1 END AS exact_attr
-       |  FROM base b JOIN prox x USING(doc_id) JOIN posc p USING(doc_id) JOIN dl ON dl.doc_id=b.doc_id)
-       |SELECT doc_id, CAST(words_rank AS BIGINT) AS words_rank,
+       |  FROM base b JOIN prox x USING(doc_id) JOIN posc p USING(doc_id) JOIN dl ON dl.doc_id=b.doc_id),
+       |meili AS (SELECT doc_id, CAST(words_rank AS BIGINT) AS words_rank,
        |  CAST(typo_cost AS BIGINT) AS typo_cost, CAST(prox_cost AS BIGINT) AS prox_cost,
        |  CAST(pos_cost AS BIGINT) AS pos_cost, CAST(exact_attr AS BIGINT) AS exact_attr,
        |  CAST(exact_words AS BIGINT) AS exact_words,
        |  CAST((((((words_rank - 1) * ${maxTypo + 1} + ${maxTypo + 1} - typo_cost - 1) * ${maxProx + 1}
        |    + ${maxProx + 1} - prox_cost - 1) * ${maxPos + 1} + ${maxPos + 1} - least(pos_cost, $maxPos) - 1) * 3
        |    + exact_attr - 1) * ${n + 1} + exact_words + 1 AS DOUBLE) / $maxM AS ranking_score
-       |FROM fin
+       |FROM fin)""".stripMargin
+  }
+
+  private def meiliOracleSql(words: Seq[String], k: Int): String =
+    s"""${meiliCtes(words)}
+       |SELECT doc_id, words_rank, typo_cost, prox_cost, pos_cost,
+       |  exact_attr, exact_words, ranking_score
+       |FROM meili
        |ORDER BY words_rank DESC, typo_cost ASC, prox_cost ASC, pos_cost ASC,
        |  exact_attr DESC, exact_words DESC, doc_id ASC LIMIT $k""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Shared prefix: tokenization with positions.
@@ -477,6 +498,24 @@ object SparkEntry {
         | round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS score
         |FROM dots d CROSS JOIN qn
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_hybrid" ->
+      s"""${meiliCtes(Seq("spark", "merge"))},
+         |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+         |qv AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM ex WHERE vec_id = 0),
+         |dots AS (SELECT e.vec_id,
+         |  sum(CAST(floor(CAST(e.x AS DOUBLE) * qv.qx * 1e9 + 0.5) AS BIGINT)) AS dot,
+         |  sum(CAST(floor(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS nn
+         | FROM ex e JOIN qv ON e.i = qv.i GROUP BY e.vec_id),
+         |qn AS (SELECT nn AS qnorm FROM dots WHERE vec_id = 0),
+         |sem AS (SELECT d.vec_id AS doc_id,
+         |  round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS sem0
+         | FROM dots d CROSS JOIN qn)
+         |SELECT COALESCE(m.doc_id, s.doc_id) AS doc_id,
+         | round(greatest(coalesce(m.ranking_score * 0.5, 0), coalesce(s.sem0 * 0.5, 0)), 6) AS hybrid_score,
+         | round(coalesce(m.ranking_score, 0), 6) AS kw_score,
+         | round(coalesce(s.sem0, 0), 6) AS sem_score
+         |FROM meili m FULL OUTER JOIN sem s ON m.doc_id = s.doc_id
+         |ORDER BY hybrid_score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_meili_rank" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50),
     "q_meili_typo" -> meiliOracleSql(Seq("spork", "merge"), 50),
     "q_meili_ngram" -> meiliOracleSql(Seq("win", "dow"), 50),

@@ -27,13 +27,19 @@ import graft.functions.{BM25, Tokenizer, VByte}
   *   proximity / attribute rules; reference word_position_docids,
   *   index.rs:137-138).
   */
+/** @param stopWords terms excluded from postings/positions/dictionary.
+  *   Positions of surrounding words are preserved (the stop word still
+  *   advances the position counter) and doc `len` still counts it —
+  *   reference semantics: stop words keep positions but are not indexed
+  *   as terms (parse_query.rs:311-318, settings stop_words). */
 final case class IndexConfig(
     docsPerShard: Int = 1 << 14,
     termBuckets: Int = 8,
     blockSize: Int = 128,
     numPartitions: Int = 32,
     bucketWaves: Boolean = false,
-    positions: Boolean = false)
+    positions: Boolean = false,
+    stopWords: Set[String] = Set.empty)
 
 /** Inverted-index builder: the Spark-first re-expression of the
   * reference's document-indexing pipeline (reference:
@@ -69,13 +75,18 @@ object IndexBuild {
   def bucketOf(term: String, buckets: Int): Int =
     math.floorMod(term.hashCode, buckets)
 
-  /** Per-doc tokenize + aggregate: one TermDoc row per distinct term. */
-  def termDocsOf(docId: Int, content: String): Iterator[TermDoc] = {
+  /** Per-doc tokenize + aggregate: one TermDoc row per distinct term.
+    * Stop words are skipped but still advanced positions (tokenize
+    * already assigned them). */
+  def termDocsOf(docId: Int, content: String,
+                 stop: Set[String] = Set.empty): Iterator[TermDoc] = {
     val toks = Tokenizer.tokenize(content)
     val m = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
     toks.foreach { t =>
-      val cur = m.getOrElse(t.term, (0, Int.MaxValue))
-      m.update(t.term, (cur._1 + 1, math.min(cur._2, t.pos)))
+      if (stop.isEmpty || !stop.contains(t.term)) {
+        val cur = m.getOrElse(t.term, (0, Int.MaxValue))
+        m.update(t.term, (cur._1 + 1, math.min(cur._2, t.pos)))
+      }
     }
     m.iterator.map { case (term, (tf, minPos)) => TermDoc(term, docId, tf, minPos, 0) }
   }
@@ -142,9 +153,10 @@ object IndexBuild {
     val blockSize = cfg.blockSize
     val dps = cfg.docsPerShard
     val tb = cfg.termBuckets
+    val stop = cfg.stopWords
     def termDocKeys: DataFrame = docsDf.select($"docId", $"content")
       .as[(Int, String)]
-      .flatMap { case (id, c) => termDocsOf(id, c) }
+      .flatMap { case (id, c) => termDocsOf(id, c, stop) }
       .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
       .toDF("term", "shard", "docId", "tf", "bucket")
     def encoded(df: DataFrame): DataFrame = df
@@ -193,6 +205,11 @@ object IndexBuild {
     // over the (small) dictionary, avgdl = tokens / N
     Lineage.stage(spark, indexDir, "stats") {
       writeStats(spark, indexDir, cfg)
+      // persist the stop-word setting so the query side agrees with the
+      // index by construction
+      if (cfg.stopWords.nonEmpty)
+        cfg.stopWords.toSeq.sorted.toDF("term").repartition(1)
+          .write.mode("overwrite").parquet(s"$indexDir/stopwords")
       Nil
     }
 
@@ -201,10 +218,12 @@ object IndexBuild {
       Lineage.stage(spark, indexDir, "positions") {
         docsDf.select($"docId", $"content").as[(Int, String)]
           .flatMap { case (id, c) =>
-            Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
-              case (term, toks) =>
-                (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
-            }
+            Tokenizer.tokenize(c).iterator
+              .filter(t => stop.isEmpty || !stop.contains(t.term))
+              .toSeq.groupBy(_.term).iterator.map {
+                case (term, toks) =>
+                  (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+              }
           }.toDF("term", "docId", "positions", "bucket")
           .repartition(cfg.numPartitions, $"term")
           .sortWithinPartitions($"term", $"docId")
@@ -284,9 +303,10 @@ object IndexBuild {
         val tb = cfg.termBuckets
         val deltaDocs = spark.read.parquet(s"$indexDir/docs")
           .filter($"docId".between(lo, hi))
+        val stop = cfg.stopWords
         val staging = s"$indexDir/_stage_postings_$batchId"
         deltaDocs.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) => termDocsOf(id, c) }
+          .flatMap { case (id, c) => termDocsOf(id, c, stop) }
           .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
           .toDF("term", "shard", "docId", "tf", "bucket")
           .repartition(cfg.numPartitions, $"term", $"shard")
@@ -301,10 +321,12 @@ object IndexBuild {
           val pstaging = s"$indexDir/_stage_positions_$batchId"
           deltaDocs.select($"docId", $"content").as[(Int, String)]
             .flatMap { case (id, c) =>
-              Tokenizer.tokenize(c).groupBy(_.term).iterator.map {
-                case (term, toks) =>
-                  (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
-              }
+              Tokenizer.tokenize(c).iterator
+                .filter(t => stop.isEmpty || !stop.contains(t.term))
+                .toSeq.groupBy(_.term).iterator.map {
+                  case (term, toks) =>
+                    (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+                }
             }.toDF("term", "docId", "positions", "bucket")
             .repartition(math.max(1, cfg.numPartitions / 2), $"term")
             .write.mode("overwrite").partitionBy("bucket").parquet(pstaging)
@@ -384,6 +406,116 @@ object IndexBuild {
       lineageOf(spark, s"$indexDir/docs", "docId")
     }
     build(spark, spark.emptyDataset[SourceFile], indexDir, cfg)
+  }
+
+  /** Multi-field build (reference: positions are
+    * `fid << 16 | relative_pos`, lib.rs:201-208; per-field weights feed
+    * the fid ranking rule, ranking_rule_graph/fid/mod.rs:50-110).
+    *
+    * @param fields (columnName, weight) per searchable field, fid =
+    *   position in this list; lower weight = more important (reference
+    *   weight semantics). Docs store keeps the original field columns
+    *   plus `content` = hard-separator-joined concatenation (display,
+    *   sha); `len` = total tokens across fields (BM25 norm). tf sums
+    *   across fields; positions carry the fid in the high 16 bits, so
+    *   phrase/proximity joins stay within a field by construction
+    *   (cross-field distances clamp past the 7/8 caps).
+    */
+  def buildMultiField(spark: SparkSession, df: DataFrame, docIdCol: String,
+                      fields: Seq[(String, Int)], langCol: String,
+                      sourceCol: String, indexDir: String,
+                      cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    require(fields.nonEmpty && fields.size < (1 << 15), "1..32767 fields")
+    val fieldCols = fields.map(_._1)
+
+    Lineage.stage(spark, indexDir, "fields") {
+      fields.zipWithIndex.map { case ((name, w), fid) => (fid, name, w) }
+        .toDF("fid", "name", "weight")
+        .repartition(1).write.mode("overwrite").parquet(s"$indexDir/fields")
+      Nil
+    }
+
+    Lineage.stage(spark, indexDir, "docs") {
+      val concat = concat_ws("\n\n", fieldCols.map(col): _*)
+      df.select(
+          col(docIdCol).cast("int").as("docId") +:
+            col(sourceCol).cast("string").as("repo") +:
+            col(docIdCol).cast("string").as("path") +:
+            lit("").as("commit") +:
+            col(langCol).cast("string").as("lang") +:
+            concat.as("content") +:
+            fieldCols.map(c => col(c).cast("string").as(c)): _*)
+        .withColumn("content_sha256", sha2($"content", 256))
+        .withColumn("len", udf((r: org.apache.spark.sql.Row) =>
+          fieldCols.indices.map(i => Tokenizer.tokenize(r.getString(i)).length).sum
+        ).apply(struct(fieldCols.map(col): _*)))
+        .write.mode("overwrite").parquet(s"$indexDir/docs")
+      lineageOf(spark, s"$indexDir/docs", "docId")
+    }
+    val docsDf = spark.read.parquet(s"$indexDir/docs")
+    val dps = cfg.docsPerShard
+    val tb = cfg.termBuckets
+    val stop = cfg.stopWords
+    val nf = fieldCols.size
+
+    // tokenize each field with fid-encoded positions (variable arity →
+    // Row access, one narrow pass shared by both derived tables)
+    def tokenRows = docsDf.select(($"docId" +: fieldCols.map(col)): _*).rdd
+      .flatMap { r =>
+        val id = r.getInt(0)
+        (0 until nf).iterator.flatMap { fid =>
+          val text = r.getString(1 + fid)
+          Tokenizer.tokenize(text).iterator
+            .filter(t => stop.isEmpty || !stop.contains(t.term))
+            .map(t => (t.term, id, (fid << 16) | math.min(t.pos, 0xffff)))
+        }
+      }
+
+    Lineage.stage(spark, indexDir, "postings") {
+      spark.createDataFrame(tokenRows.map { case (term, id, _) =>
+          org.apache.spark.sql.Row(term, id)
+        }, org.apache.spark.sql.types.StructType.fromDDL("term STRING, docId INT"))
+        .groupBy($"term", $"docId").agg(count(lit(1)).cast("int").as("tf"))
+        .select($"term", ($"docId" / dps).cast("int").as("shard"), $"docId",
+          $"tf", udf((t: String) => bucketOf(t, tb)).apply($"term").as("bucket"))
+        .repartition(cfg.numPartitions, $"term", $"shard")
+        .sortWithinPartitions($"term", $"shard", $"docId")
+        .select($"term", $"shard", $"docId", $"tf", $"bucket")
+        .as[(String, Int, Int, Int, Int)]
+        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
+        .toDF(EncodedCols: _*)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
+      postingLineage(spark, s"$indexDir/postings", "postings")
+    }
+
+    Lineage.stage(spark, indexDir, "positions") {
+      spark.createDataFrame(tokenRows.map { case (term, id, p) =>
+          org.apache.spark.sql.Row(term, id, p)
+        }, org.apache.spark.sql.types.StructType.fromDDL(
+          "term STRING, docId INT, pos INT"))
+        .groupBy($"term", $"docId")
+        .agg(sort_array(collect_list($"pos")).as("positions"))
+        .withColumn("bucket", udf((t: String) => bucketOf(t, tb)).apply($"term"))
+        .repartition(cfg.numPartitions, $"term")
+        .sortWithinPartitions($"term", $"docId")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/positions")
+      Nil
+    }
+
+    Lineage.stage(spark, indexDir, "dict") {
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy($"term")
+        .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
+        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
+          length($"term").as("len"))
+        .write.mode("overwrite").parquet(s"$indexDir/dict")
+      Nil
+    }
+    Lineage.stage(spark, indexDir, "stats") {
+      writeStats(spark, indexDir, cfg)
+      Nil
+    }
   }
 
   /** Streaming block encoder: input sorted by (term, shard, docId) within

@@ -37,14 +37,26 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard similarity >= minJ. Candidate pairs come
     * from the shingle-inverted self-join (only docs sharing >=1 shingle
-    * meet) — the scalable alternative to an O(N^2) cross join. Exact.
-    * Known 100TB hazard: ubiquitous shingles blow up the self-join;
-    * there, cap shingle df (approximate) or route hot shingles through
-    * [[minhashLshPairs]] — kept uncapped here because the correctness
-    * oracle is exact Jaccard. */
+    * meet) — the scalable alternative to an O(N^2) cross join.
+    *
+    * `maxShingleDf` caps the self-join blowup: a ubiquitous shingle in M
+    * docs alone produces O(M²) candidate pairs, so shingles with df >
+    * cap are dropped as non-discriminative (standard practice; they
+    * carry ~no Jaccard signal). With the cap above the corpus' max
+    * shingle df the result is EXACT Jaccard (the oracle setting); when
+    * binding, similarity is Jaccard over the capped shingle sets (sizes
+    * computed after the drop, so it stays a true Jaccard of reduced
+    * sets). For aggressive dedup at scale prefer [[minhashLshPairs]]. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJ: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+                   n: Int, minJ: Double,
+                   maxShingleDf: Long = 100000L): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh = (if (maxShingleDf == Long.MaxValue) sh0 else {
+      val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+        .where(col("sdf") > maxShingleDf)
+        .select(col("shingle"))
+      sh0.join(hot, Seq("shingle"), "left_anti")
+    }).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.withColumnRenamed("id", "a")
     val b = sh.withColumnRenamed("id", "b")

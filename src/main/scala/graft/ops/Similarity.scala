@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -43,43 +43,73 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed approximate NN (the scale path): sign of the dot with
-    * `nPlanes` seeded deterministic hyperplanes = the bucket key
-    * (random-hyperplane LSH, Charikar '02); exact cosine re-ranking
-    * within the query's bucket. At 10^12 rows the bucket join replaces
-    * the full scan; recall is tested against [[cosineTopK]]. */
-  def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
-              vecCol: String, queryId: Long, k: Int,
-              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // deterministic pseudo-random hyperplanes from splitmix64
+  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded) and
+    * the bucket expression: bucket bit i = sign of the dot with plane i
+    * (random-hyperplane LSH, Charikar '02). */
+  private def bucketExpr(vecCol: String, nPlanes: Int, dim: Int, seed: Long)
+      : (Column, Column) = {
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { d =>
         val r = graft.corpus.CorpusGen.mix(seed ^ (p.toLong << 32) ^ d.toLong)
         (r.toDouble / Long.MaxValue) // in [-1, 1]
       }
     }
-    val planesCol = array(planes.map(pl =>
-      array(pl.map(v => lit(v)): _*)): _*)
-    def bucketCol(vec: String) = expr(
+    val planesCol = array(planes.map(pl => array(pl.map(v => lit(v)): _*)): _*)
+    val b = expr(
       s"""aggregate(zip_with(planes_idx, planes_arr, (i, pl) ->
-         |  if(aggregate(zip_with($vec, pl, (x, w) -> cast(x as double) * w),
+         |  if(aggregate(zip_with($vecCol, pl, (x, w) -> cast(x as double) * w),
          |     0d, (a, v) -> a + v) >= 0d, shiftleft(1L, i), 0L)),
          |  0L, (a, v) -> a + v)""".stripMargin)
-    val withBucket = emb
-      .withColumn("planes_arr", planesCol)
+    (planesCol, b)
+  }
+
+  /** Build-time PERSISTED LSH index (the 100-TB ANN path): one pass over
+    * the embedding table writes (id, vec, nn, bucket) partitioned by
+    * bucket, so a query reads only its probed bucket partitions
+    * (partition pruning) instead of projecting the whole table per
+    * query. Meta row pins (nPlanes, dim, seed). */
+  def buildLshIndex(spark: SparkSession, emb: DataFrame, idCol: String,
+                    vecCol: String, dir: String,
+                    nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val (planesCol, bucketCol) = bucketExpr(vecCol, nPlanes, dim, seed)
+    emb.withColumn("planes_arr", planesCol)
       .withColumn("planes_idx", expr(s"sequence(0, ${nPlanes - 1})"))
-      .withColumn("bucket", bucketCol(vecCol))
-      .drop("planes_arr", "planes_idx")
-    val qb = withBucket.where(col(idCol) === queryId)
-      .select(col("bucket").as("qbucket"), col(vecCol).as("qvec"),
-        normFx(vecCol).as("qn"))
-    withBucket.join(broadcast(qb), col("bucket") === col("qbucket"))
-      .withColumn("dot", dotFx(vecCol, "qvec"))
-      .withColumn("nn", normFx(vecCol))
+      .withColumn("bucket", bucketCol)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        normFx(vecCol).as("nn"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/rows")
+    Seq((nPlanes, dim, seed)).toDF("nPlanes", "dim", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Multi-probe top-k against a persisted LSH index: probes = every
+    * bucket within Hamming distance `probeHamming` of the query's
+    * bucket (sign flips on few hyperplanes are the likeliest misses,
+    * Lv et al. 2007 multi-probe LSH); exact fixed-point cosine re-rank
+    * within the probed partitions. Probe fraction = Σ C(nPlanes,h)/2^n —
+    * vanishing at production plane counts (h≤2 at 16 planes probes
+    * 137/65536 buckets). */
+  def lshIndexTopK(spark: SparkSession, dir: String, queryId: Long,
+                   k: Int, probeHamming: Int = 2): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val nPlanes = meta.getInt(0)
+    val rows = spark.read.parquet(s"$dir/rows")
+    // partition discovery re-infers the bucket column as INT: cast back
+    val q = rows.where(col("id") === queryId)
+      .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
+    val qBucket = q.getLong(0)
+    val probes = (0L until (1L << nPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
+    val qvec = q.getSeq[Float](1)
+    val qn = q.getLong(2)
+    rows.where(col("bucket").isin(probes: _*))
+      .withColumn("qvec", array(qvec.map(v => lit(v)): _*))
+      .withColumn("dot", dotFx("vec", "qvec"))
       .withColumn("score",
-        round(col("dot") / sqrt((col("nn") * col("qn")).cast("double")), 6))
-      .select(col(idCol), col("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
+        round(col("dot") / sqrt((col("nn") * lit(qn)).cast("double")), 6))
+      .select(col("id").as("vec_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
 }

@@ -88,8 +88,12 @@ final class MeiliRank(engine: SearchEngine,
     * mode a single pushed-down IN scan; typo derivations come from the
     * Levenshtein-automaton walk (sub-linear in vocabulary). */
   def analyzeParsed(pq: ParsedQuery, lastIsPrefix: Boolean = false): Seq[Slot] = {
+    // stop words are dropped as query terms (reference keeps position
+    // placeholders, parse_query.rs:311-318; here surrounding slots
+    // simply become adjacent — documented simplification)
     val flagged: Seq[(String, Boolean)] =
       pq.posTokens.flatMap(t => t.terms.map(w => (w, t.phrase)))
+        .filterNot { case (w, _) => engine.stopWords.contains(w) }
     val words = flagged.map(_._1)
     val synExp = words.flatMap(w =>
       synonyms.getOrElse(w, Nil).flatMap(Tokenizer.terms))
@@ -301,22 +305,44 @@ final class MeiliRank(engine: SearchEngine,
         .drop("pp")
     } else perDoc.withColumn("proxCost", lit(0))
 
-    // attribute/position: sum of bucketed first positions over kept slots
+    // attribute rule = fid + position (reference Attribute → Fid then
+    // Position, search/new/mod.rs:426-533). Positions carry the fid in
+    // the high 16 bits for multi-field indexes (lib.rs:201-208); the
+    // position sub-rule buckets the RELATIVE position, the fid sub-rule
+    // takes the min field weight per kept slot (fid/mod.rs:50-110).
+    val fws = engine.fieldWeights
+    val wMax = if (fws.isEmpty) 0 else fws.values.max
     val posRank = {
       val pos = slotPositions(slots)
-      val bucketUdf = udf((p: Int) => Tokenizer.bucketPosition(p))
-      pos.groupBy($"docId", $"slot").agg(min($"pos").as("minPos"))
-        .withColumn("posBucket", bucketUdf($"minPos"))
+      val bucketUdf = udf((p: Int) => Tokenizer.bucketPosition(p & 0xffff))
+      val weightCol =
+        if (fws.isEmpty) lit(0)
+        else coalesce(element_at(typedLit(fws),
+          shiftright($"pos", 16).cast("int")), lit(wMax))
+      pos.groupBy($"docId", $"slot")
+        .agg(min($"pos").as("minPos"),
+          min($"pos".bitwiseAND(lit(0xffff))).as("minRel"),
+          min(weightCol).as("minW"))
+        .withColumn("posBucket", bucketUdf($"minRel"))
         .groupBy($"docId")
         .agg(map_from_entries(sort_array(collect_list(struct($"slot", $"posBucket"))))
           .as("pb"),
+          map_from_entries(sort_array(collect_list(struct($"slot", $"minW"))))
+          .as("fw"),
           min(when($"slot" === 0, $"minPos")).as("firstSlotPos"))
     }
     val posSum = (0 until n).map { i =>
       when(lit(kposArr(i)) < $"wordsRank",
         coalesce(element_at($"pb", i), lit(0))).otherwise(lit(0))
     }.reduce(_ + _)
+    val fidSum =
+      if (fws.isEmpty) lit(0)
+      else (0 until n).map { i =>
+        when(lit(kposArr(i)) < $"wordsRank",
+          coalesce(element_at($"fw", i), lit(wMax))).otherwise(lit(0))
+      }.reduce(_ + _)
     val withPos = withProx.join(posRank, Seq("docId"), "left")
+      .withColumn("fidCost", fidSum)
       .withColumn("posCost", posSum)
 
     // exactness: whole-attribute exact (len == n and phrase at pos 0),
@@ -337,10 +363,12 @@ final class MeiliRank(engine: SearchEngine,
     val maxTypo = slots.map(s => Levenshtein.budgetFor(s.original)).sum + n
     val maxProx = 8 * math.max(n - 1, 0)
     val maxPos = 48 * n
+    val maxFid = wMax * n // 0 for single-field → rule is a merge identity
     val rules: Seq[(Column, Int)] = Seq( // (rank, maxRank) per rule
       ($"wordsRank", n),
       (lit(maxTypo + 1) - $"typoCost", maxTypo + 1),
       (lit(maxProx + 1) - $"proxCost", maxProx + 1),
+      (lit(maxFid + 1) - least($"fidCost", lit(maxFid)), maxFid + 1),
       (lit(maxPos + 1) - least($"posCost", lit(maxPos)), maxPos + 1),
       ($"exactAttr", 3),
       ($"exactWords" + 1, n + 1))
@@ -364,11 +392,13 @@ final class MeiliRank(engine: SearchEngine,
     val sortCols: Seq[Column] = sortBy match {
       case Some((col0, asc)) =>
         // user sort slots between attribute and exactness (criterion.rs)
-        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc, $"posCost".asc,
+        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc,
+          $"fidCost".asc, $"posCost".asc,
           if (asc) col(col0).asc_nulls_last else col(col0).desc_nulls_last,
           $"exactAttr".desc, $"exactWords".desc, $"docId".asc)
       case None =>
-        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc, $"posCost".asc,
+        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc,
+          $"fidCost".asc, $"posCost".asc,
           $"exactAttr".desc, $"exactWords".desc, $"docId".asc)
     }
     val withMeta = filtered.join(engine.docs.drop("len"), Seq("docId"))

@@ -51,6 +51,30 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * lists) above it — the driver never holds a web-scale vocabulary. */
   val td = new graft.index.TermDict(spark, s"$indexDir/dict")
 
+  /** Index-time stop-word setting (empty when unset); stop terms are
+    * absent from the dictionary, so bag-of-words paths ignore them
+    * naturally — the set is for analyzers that must drop them before
+    * slot construction (MeiliRank). */
+  val stopWords: Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stopwords")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(s"$indexDir/stopwords").as[String].collect().toSet
+    else Set.empty
+  }
+
+  /** fid → weight for multi-field indexes (IndexBuild.buildMultiField);
+    * empty for single-field. Lower weight = more important field
+    * (reference fieldids_weights_map). */
+  val fieldWeights: Map[Int, Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/fields")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(s"$indexDir/fields").select($"fid", $"weight")
+        .as[(Int, Int)].collect().toMap
+    else Map.empty
+  }
+
   /** Small-mode convenience view (tests, tooling). Throws above the
     * TermDict threshold by design — engine paths use `td`. */
   lazy val dict: Map[String, Long] = td.fullMap.getOrElse(

@@ -104,11 +104,43 @@ class OpsSpec extends AnyFunSuite {
     got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
   }
 
-  test("lshTopK returns query itself and only true-cosine-ordered results") {
-    val got = Similarity.lshTopK(spark, emb, "vec_id", "embedding", 0L, 10, nPlanes = 4)
+  test("persisted LSH index: multi-probe recall@10 >= 0.8 vs exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Similarity.buildLshIndex(spark, emb, "vec_id", "embedding", dir, nPlanes = 4)
+    val got = Similarity.lshIndexTopK(spark, dir, 0L, 10)
       .as[(Long, Double)].collect().toSeq
     assert(got.head._1 == 0L)
     assert(got.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"multi-probe recall@10 = $recall")
+    // probe set never reads the whole table: plan prunes bucket partitions
+    val plan = Similarity.lshIndexTopK(spark, dir, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
+  test("jaccard hot-shingle cap bounds the self-join blowup") {
+    // adversarial duplicate-heavy corpus: 120 docs share one ubiquitous
+    // trigram and are otherwise disjoint — uncapped, that one shingle
+    // alone produces all C(120,2) candidate pairs
+    val adv = (0 until 120).map(i =>
+      (i.toLong, s"common shingle here u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(adv, "doc_id", "text", 3, 0.0,
+      maxShingleDf = Long.MaxValue).count()
+    val capped = Dedup.jaccardPairs(adv, "doc_id", "text", 3, 0.0,
+      maxShingleDf = 50).count()
+    assert(uncapped == 120L * 119 / 2)
+    assert(capped == 0, "the non-discriminative shingle must be dropped")
+    // parity when the cap is not binding (df max << cap)
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
+      maxShingleDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
   }
 
   test("exact dedup groups: every doc accounted once") {

@@ -131,6 +131,48 @@ class QuerySyntaxSpec extends AnyFunSuite {
     assert(cut.length == scores.count(_ >= tau) && cut.length < all.length)
   }
 
+  test("stop words: excluded from index terms, positions preserved") {
+    val dir = Files.createTempDirectory("stopw").toString
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true, stopWords = Set("the", "over")))
+    val e = new SearchEngine(spark, dir)
+    assert(e.stopWords == Set("over", "the"))
+    assert(!e.dict.contains("the"), "stop word must not be indexed")
+    // len still counts stop words (doc 1 'the quick brown fox' = 4)
+    assert(e.docs.where($"docId" === 1).select($"len").as[Int].head() == 4)
+    // query containing the stop word behaves like the query without it
+    val a = e.searchDF("the quick", 10).collect().map(_.getInt(0)).toSet
+    val b = e.searchDF("quick", 10).collect().map(_.getInt(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // positions preserved: 'quick brown' still adjacent after 'the'
+    val mr2 = new MeiliRank(e)
+    val got = mr2.search("the quick brown", 10).collect()
+      .map(r => r.getInt(0) -> r.getInt(3)).toMap // proxCost
+    assert(got(1) == 1, s"adjacency preserved around stop word: $got")
+  }
+
+  test("hybrid merge: ratio endpoints and weighted max ordering") {
+    import graft.search.Hybrid
+    val kw = Seq((1, 0.9), (2, 0.5)).toDF("docId", "rankingScore")
+    val sem = Seq((2, 1.0), (3, 0.8)).toDF("docId", "score")
+    // ratio 0: pure keyword — doc 3 (semantic only) scores 0
+    val r0 = Hybrid.merge(kw, sem, 0.0, 10).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r0(1) == 0.9 && r0(2) == 0.5 && r0(3) == 0.0)
+    // ratio 1: pure semantic
+    val r1 = Hybrid.merge(kw, sem, 1.0, 10).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r1(2) == 1.0 && r1(3) == 0.8 && r1(1) == 0.0)
+    // ratio 0.5: weighted max of the two origins
+    val rh = Hybrid.merge(kw, sem, 0.5, 10).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rh(2) == 0.5 && rh(1) == 0.45 && rh(3) == 0.4)
+  }
+
   test("multi-word synonym expands to an adjacency match at cost 0") {
     val mrSyn = new MeiliRank(engine, synonyms = Map("reynard" -> Seq("quick brown")))
     val got = mrSyn.search("reynard", 10).collect()

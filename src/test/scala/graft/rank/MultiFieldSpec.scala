@@ -1,0 +1,69 @@
+package graft.rank
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.index.{IndexBuild, IndexConfig}
+import graft.search.SearchEngine
+
+/** Multi-field indexing + fid ranking rule (reference positions encode
+  * fid<<16|pos, lib.rs:201-208; fid rule cost = field weight,
+  * ranking_rule_graph/fid/mod.rs:50-110; lower weight = more important
+  * field, searched-attributes order). */
+class MultiFieldSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // title (weight 0, most important) + body (weight 1)
+  val docs = Seq(
+    (0L, "cooking pasta", "a long story about gardens and tools"),
+    (1L, "garden tools", "cooking pasta recipes for the family"),
+    (2L, "pasta", "pasta"),
+    (3L, "unrelated title", "more cooking here with pasta later on"))
+
+  lazy val engine: SearchEngine = {
+    val dir = Files.createTempDirectory("multifield").toString
+    val df = docs.toDF("doc_id", "title", "body")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildMultiField(spark, df, "doc_id",
+      fields = Seq(("title", 0), ("body", 1)),
+      langCol = "lang", sourceCol = "source", indexDir = dir,
+      cfg = IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2))
+    new SearchEngine(spark, dir)
+  }
+  lazy val mr = new MeiliRank(engine)
+
+  test("index shape: tf sums across fields, len counts all fields") {
+    assert(engine.fieldWeights == Map(0 -> 0, 1 -> 1))
+    // doc 2 has 'pasta' in both fields: tf 2, len 2
+    val d2 = engine.docs.where($"docId" === 2).select($"len").as[Int].head()
+    assert(d2 == 2)
+    assert(engine.dict("pasta") == 4, "df counts docs, not fields")
+  }
+
+  test("fid rule: title match outranks body match, weights reorder results") {
+    // 'cooking pasta': doc 0 has both words in TITLE (weight 0); doc 1
+    // has both in BODY (weight 1); equal words/typo/prox otherwise
+    val got = mr.search("cooking pasta", 10).collect().map(_.getInt(0)).toSeq
+    assert(got.indexOf(0) < got.indexOf(1),
+      s"title (weight 0) must outrank body (weight 1): $got")
+  }
+
+  test("phrase and proximity never cross field boundaries") {
+    // doc 0: 'pasta' ends title, 'a' starts body — encoded positions
+    // differ by >= 1<<16, so they are never adjacent
+    val ph = engine.phrase(Seq("pasta", "a")).collect().map(_.getInt(0)).toSet
+    assert(!ph.contains(0), s"phrase must not span fields: $ph")
+    // within-field adjacency still works
+    val ph2 = engine.phrase(Seq("cooking", "pasta")).collect().map(_.getInt(0)).toSet
+    assert(ph2.contains(0) && ph2.contains(1))
+  }
+
+  test("BM25 search works over the multi-field index") {
+    val hits = engine.searchDF("pasta", 10).collect()
+    assert(hits.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+  }
+}
