@@ -354,8 +354,12 @@ object IndexBuild {
     val n = Lineage.read(spark, indexDir)
       .filter($"stage".startsWith("docs"))
       .agg(coalesce(sum($"postingCount"), lit(0L))).as[Long].head()
-    val tokens = spark.read.parquet(s"$indexDir/dict")
-      .agg(coalesce(sum($"cf"), lit(0L))).as[Long].head()
+    // avgdl from the docs len column (column-pruned scan), NOT from dict
+    // cf sums: with stop words the dictionary undercounts tokens while
+    // `len` (the BM25 norm) counts them all — avgdl must match len's
+    // definition or norms skew
+    val tokens = spark.read.parquet(s"$indexDir/docs")
+      .agg(coalesce(sum($"len"), lit(0L))).as[Long].head()
     val avgdl = if (n == 0) 0.0 else tokens.toDouble / n
     Seq(("N", n.toDouble), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
       ("docsPerShard", cfg.docsPerShard.toDouble),

@@ -61,7 +61,8 @@ object TextMetrics {
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive near-exact dedup key (word-bag fingerprint). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      md5(concat_ws(" ", array_sort(array_distinct(toks(textCol))))).as("fp"),
-      size(array_distinct(toks(textCol))).as("n_distinct"))
+    df.select(col(idCol).as("id"), array_distinct(toks(textCol)).as("d"))
+      .select(col("id"),
+        md5(concat_ws(" ", array_sort(col("d")))).as("fp"),
+        size(col("d")).as("n_distinct"))
 }

@@ -57,9 +57,35 @@ object FilterParser {
       require(depth <= MaxDepth, "filter too deep")
       val res =
         if (peekChar('(')) { i += 1; val c = parseOr(); skipWs(); expect(')'); c }
+        else if (peekKeyword("_geoRadius")) parseGeoRadius()
+        else if (peekKeyword("_geoBoundingBox")) parseGeoBoundingBox()
         else parseCondition()
       depth -= 1
       res
+    }
+
+    /** `_geoRadius(lat, lng, meters)` (reference filter-parser
+      * lib.rs:370-400). */
+    private def parseGeoRadius(): Column = {
+      eatKeyword("_geoRadius"); expect('(')
+      val lat = parseValue().toDouble; skipWs(); expect(',')
+      val lng = parseValue().toDouble; skipWs(); expect(',')
+      val m = parseValue().toDouble; skipWs(); expect(')')
+      graft.functions.Geo.geoRadius(lat, lng, m)
+    }
+
+    /** `_geoBoundingBox([latTR, lngTR], [latBL, lngBL])`. */
+    private def parseGeoBoundingBox(): Column = {
+      eatKeyword("_geoBoundingBox"); expect('(')
+      def pt(): (Double, Double) = {
+        skipWs(); expect('[')
+        val a = parseValue().toDouble; skipWs(); expect(',')
+        val b = parseValue().toDouble; skipWs(); expect(']')
+        (a, b)
+      }
+      val (latTR, lngTR) = pt(); skipWs(); expect(',')
+      val (latBL, lngBL) = pt(); skipWs(); expect(')')
+      graft.functions.Geo.geoBoundingBox(latTR, lngTR, latBL, lngBL)
     }
 
     private def parseCondition(): Column = {

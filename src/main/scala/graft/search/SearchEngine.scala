@@ -178,6 +178,19 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Cost-routed search (the recommended entry point): plain queries
+    * whose Σdf exceeds the broadcast cap go to block-max WAND — it
+    * skips undecoded blocks and never materializes per-doc posting rows,
+    * the right physical plan for stop-word-heavy queries at scale;
+    * everything else takes the declarative plan. Both plans are
+    * rank-identical (cross-checked in specs). */
+  def search(q: String, k: Int, conjunctive: Boolean = true): DataFrame = {
+    val pq = graft.query.QueryParser.parse(q)
+    if (pq.isPlain && termsOf(pq.positiveTerms).map(_.df).sum > broadcastDfCap)
+      searchWand(q, k, conjunctive)
+    else searchDF(q, k, conjunctive)
+  }
+
   /** Block-max WAND search: per-shard top-k inside mapGroups (the only
     * imperative operator on the read path), exact global merge. Queries
     * carrying phrase/negative syntax delegate to the declarative plan
