@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.{Geo, JsonText}
 import graft.ops.{Dedup, Multimodal, Similarity, TextMetrics}
 import graft.streaming.Events
 
@@ -35,6 +36,14 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def eventsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
+
+  /** documents + deterministic synthetic `_geo_lat`/`_geo_lng` fields
+    * (the corpus has no geo columns; identical doc_id-derived formula in
+    * the DuckDB oracle). Lat in [-80, 80), lng in [-170, 170). */
+  private def geoDocs(s: SparkSession, dir: String): DataFrame =
+    docsDf(s, dir).select(col("doc_id"),
+      (col("doc_id") * 37 % 1601 / 10.0 - 80.0).as(Geo.LatCol),
+      (col("doc_id") * 73 % 3401 / 10.0 - 170.0).as(Geo.LngCol))
 
   /** searchDF + the deterministic rounding/ordering contract. */
   private def rankedSearch(s: SparkSession, dir: String, q: String,
@@ -192,6 +201,40 @@ object SparkEntry {
           col("hybridScore").as("hybrid_score"),
           col("kwScore").as("kw_score"), col("semScore").as("sem_score"))
     }),
+    // ---- geo filters + geo sort (R7, F-geo) ------------------------------
+    "q_geo_radius" -> ((s, dir) =>
+      geoDocs(s, dir)
+        .filter(graft.query.FilterParser.parse("_geoRadius(40.7, -74.0, 2500000)"))
+        .select(col("doc_id"),
+          round(Geo.haversineMeters(col(Geo.LatCol), col(Geo.LngCol), 40.7, -74.0), 0)
+            .cast("long").as("dist_m"))
+        .orderBy(col("doc_id"))),
+    "q_geo_sort" -> ((s, dir) =>
+      geoDocs(s, dir)
+        .filter(graft.query.FilterParser.parse("_geoBoundingBox([60, -20], [10, -120])"))
+        .select(col("doc_id"),
+          round(Geo.haversineMeters(col(Geo.LatCol), col(Geo.LngCol), 40.7, -74.0), 0)
+            .cast("long").as("dist_m"))
+        .orderBy(col("dist_m").asc, col("doc_id").asc).limit(50)),
+    // ---- nested-JSON flatten (X8 json_to_string) ------------------------
+    "q_json" -> ((s, dir) =>
+      docsDf(s, dir)
+        .select(col("doc_id"),
+          to_json(struct(col("lang"), col("source"),
+            array(col("lang"), col("source")).as("tags"))).as("js"))
+        .select(col("doc_id"), JsonText.jsonToTextCol(col("js")).as("flat"))
+        .orderBy(col("doc_id"))),
+    // ---- pagination (T2: offset/limit over the ranked stream) -----------
+    "q_page" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.searchDF("batch stream", 1000000, conjunctive = false)
+        .select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(40)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rn") > 20).drop("rn")
+    }),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -326,6 +369,19 @@ object SparkEntry {
       |dl AS (SELECT doc_id, len(ts) AS len FROM tl),
       |st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(len) FROM dl) AS avgdl),
       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+
+  /** Synthetic geo fields + haversine distance to (40.7, -74.0) —
+    * mirrors `geoDocs` and `Geo.haversineMeters` exactly. */
+  private val GeoCtes =
+    """WITH g AS (SELECT doc_id,
+      |  (doc_id * 37 % 1601) / 10.0 - 80.0 AS lat,
+      |  (doc_id * 73 % 3401) / 10.0 - 170.0 AS lng FROM documents),
+      |gd AS (SELECT doc_id, lat, lng,
+      |  2 * 6371000.0 * asin(least(1.0, sqrt(
+      |    pow(sin((radians(40.7) - radians(lat)) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(40.7)) *
+      |    pow(sin((radians(-74.0) - radians(lng)) / 2), 2)))) AS dist
+      | FROM g)""".stripMargin
 
   /** BM25 per-(doc,term) score for terms of one query. */
   private def bmCte(terms: Seq[String]): String = {
@@ -537,6 +593,25 @@ object SparkEntry {
          |SELECT value, n FROM vals
          |WHERE value LIKE 'srcc1%' OR levenshtein(value, 'srcc1') <= 1
          |ORDER BY n DESC, value ASC LIMIT 100""".stripMargin,
+    "q_geo_radius" ->
+      s"""$GeoCtes
+         |SELECT doc_id, CAST(round(dist, 0) AS BIGINT) AS dist_m FROM gd
+         |WHERE dist <= 2500000 ORDER BY doc_id""".stripMargin,
+    "q_geo_sort" ->
+      s"""$GeoCtes
+         |SELECT doc_id, CAST(round(dist, 0) AS BIGINT) AS dist_m FROM gd
+         |WHERE lat BETWEEN 10 AND 60 AND lng BETWEEN -120 AND -20
+         |ORDER BY CAST(round(dist, 0) AS BIGINT) ASC, doc_id ASC LIMIT 50""".stripMargin,
+    "q_json" ->
+      """SELECT doc_id, 'lang: ' || lang || '. source: ' || source ||
+        |'. tags: ' || lang || '. ' || source || '. . ' AS flat
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_page" ->
+      s"""$TOK,
+         |${bmCte(Seq("batch", "stream"))},
+         |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id)
+         |SELECT doc_id, round(s, 6) AS score FROM agg
+         |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20 OFFSET 20""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -25,7 +25,10 @@ object Geo {
     val dLng = radians(lit(lng2)) - radians(lng)
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat)) * cos(radians(lit(lat2))) * pow(sin(dLng / 2), 2)
-    lit(2.0 * EarthRadiusMeters) * asin(least(lit(1.0), sqrt(a)))
+    // clamp via `when`, not `least`: least() SKIPS nulls, which would
+    // turn a missing-geo row into asin(1) = the antipode distance
+    val s = sqrt(a)
+    lit(2.0 * EarthRadiusMeters) * asin(when(s > 1.0, lit(1.0)).otherwise(s))
   }
 
   /** `_geoRadius(lat, lng, meters)` filter condition. Docs without geo

@@ -178,8 +178,12 @@ final class MeiliRank(engine: SearchEngine,
   }
 
   /** (docId, slot, typoCost, exact) rows: min-cost derivation per slot
-    * per doc, from one bucket-pruned postings scan. */
-  private def slotMatches(slots: Seq[Slot]): DataFrame = {
+    * per doc, from one bucket-pruned postings scan. With `fids` set
+    * (attributesToSearchOn), matches come from the fid-restricted
+    * positions table instead of the field-agnostic postings (reference
+    * restricted_fids routes word lookups to word_fid_docids,
+    * search/new/mod.rs:115-170). */
+  private def slotMatches(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map { case (t, c) =>
       (t, s.idx, c, if (t == s.original) 1 else 0)
     })
@@ -190,10 +194,16 @@ final class MeiliRank(engine: SearchEngine,
     val direct = if (derivRows.isEmpty) empty else {
       val dt = derivRows.toDF("term", "slot", "cost", "isExact")
       val terms = derivRows.map(_._1).distinct
-      // df=0: only term+bucket feed the pruned posting scan
-      val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
-        IndexBuild.bucketOf(t, engine.termBuckets)))
-      engine.decoded(qts).toDF()
+      val occurrences = fids match {
+        case Some(_) =>
+          engine.positionRows(terms, fids).select($"term", $"docId").distinct()
+        case None =>
+          // df=0: only term+bucket feed the pruned posting scan
+          val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
+            IndexBuild.bucketOf(t, engine.termBuckets)))
+          engine.decoded(qts).toDF().select($"term", $"docId")
+      }
+      occurrences
         .join(broadcast(dt), Seq("term"))
         .groupBy($"docId", $"slot")
         .agg(min($"cost").as("typoCost"), max($"isExact").as("exact"))
@@ -201,7 +211,7 @@ final class MeiliRank(engine: SearchEngine,
     // phrase derivations (split words, multi-word synonyms): the slot
     // matches where the words occur adjacently; never exact
     val phraseDfs = slots.flatMap(s => s.phraseDerivs.map { case (ws, cost) =>
-      engine.phrase(ws)
+      engine.phrase(ws, fids)
         .select($"docId", lit(s.idx).as("slot"),
           lit(cost).as("typoCost"), lit(0).as("exact"))
     })
@@ -212,13 +222,13 @@ final class MeiliRank(engine: SearchEngine,
 
   /** (docId, slot, pos) exploded positions for all derivations (phrase
     * derivations contribute the first word's positions). */
-  private def slotPositions(slots: Seq[Slot]): DataFrame = {
+  private def slotPositions(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)) ++
       s.phraseDerivs.map(pd => (pd._1.head, s.idx)))
     val dt = derivRows.toDF("term", "slot")
-    engine.positionsFor(derivRows.map(_._1).distinct)
+    engine.positionRows(derivRows.map(_._1).distinct, fids)
       .join(broadcast(dt), Seq("term"))
-      .select($"docId", $"slot", explode($"positions").as("pos"))
+      .select($"docId", $"slot", $"pos")
   }
 
   /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
@@ -230,7 +240,8 @@ final class MeiliRank(engine: SearchEngine,
              distinct: Option[String] = None,
              lastIsPrefix: Boolean = false,
              strategy: TermsMatching = TermsMatching.Last,
-             scoreThreshold: Option[Double] = None): DataFrame = {
+             scoreThreshold: Option[Double] = None,
+             searchOnFids: Option[Set[Int]] = None): DataFrame = {
     val pq = QueryParser.parse(q)
     val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
@@ -252,7 +263,7 @@ final class MeiliRank(engine: SearchEngine,
     }
     val kposMap = typedLit(kposArr.zipWithIndex.map { case (kp, slot) => slot -> kp }.toMap)
 
-    val matches0 = slotMatches(slots)
+    val matches0 = slotMatches(slots, searchOnFids)
     // quoted phrases / negatives restrict the universe (docId level)
     val (phraseDocs, negDocs) = engine.syntaxDocs(pq)
     val matches1 = phraseDocs.fold(matches0)(p =>
@@ -284,7 +295,7 @@ final class MeiliRank(engine: SearchEngine,
     // proximity: min pair distance per original-adjacent kept slot pair;
     // absent pair (beyond cap) costs 8; pairs with a removed endpoint 0
     val withProx = if (n >= 2) {
-      val pos = slotPositions(slots)
+      val pos = slotPositions(slots, searchOnFids)
       val a = pos.toDF("docId", "s1", "p1")
       val b = pos.toDF("docId", "s2", "p2")
       val pairs = a.join(b, Seq("docId"))
@@ -313,7 +324,7 @@ final class MeiliRank(engine: SearchEngine,
     val fws = engine.fieldWeights
     val wMax = if (fws.isEmpty) 0 else fws.values.max
     val posRank = {
-      val pos = slotPositions(slots)
+      val pos = slotPositions(slots, searchOnFids)
       val bucketUdf = udf((p: Int) => Tokenizer.bucketPosition(p & 0xffff))
       val weightCol =
         if (fws.isEmpty) lit(0)

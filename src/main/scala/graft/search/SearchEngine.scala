@@ -103,7 +103,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * word/phrase (anti-join side, reference search/new/mod.rs:268-295). */
   private[graft] def syntaxDocs(pq: graft.query.ParsedQuery)
       : (Option[DataFrame], Option[DataFrame]) = {
-    val pos = pq.phrases.map(phrase)
+    val pos = pq.phrases.map(ws => phrase(ws))
       .reduceOption((a, b) => a.join(b, Seq("docId"), "left_semi"))
     val negWordDocs =
       if (pq.negWords.isEmpty) Nil
@@ -264,16 +264,29 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
   }
 
+  /** Exploded (docId, pos) rows for the given terms, optionally
+    * restricted to a field set (attributesToSearchOn — positions carry
+    * fid<<16 in multi-field indexes, reference
+    * search/new/mod.rs:115-170 restricted_fids). */
+  def positionRows(terms: Seq[String], fids: Option[Set[Int]] = None): DataFrame = {
+    val rows = positionsFor(terms)
+      .select($"term", $"docId", explode($"positions").as("pos"))
+    fids match {
+      case Some(f) =>
+        rows.filter(shiftright($"pos", 16).cast("int").isin(f.toSeq: _*))
+      case None => rows
+    }
+  }
+
   /** Docs where the words occur as a consecutive phrase (reference
     * compute_phrase_docids, resolve_query_graph.rs:187-268 — word bitmap
     * intersection + adjacency; here: position joins). */
-  def phrase(words: Seq[String]): DataFrame = {
+  def phrase(words: Seq[String], fids: Option[Set[Int]] = None): DataFrame = {
     require(words.nonEmpty)
     val ws = words.map(Tokenizer.normalize)
     val exploded = ws.zipWithIndex.map { case (w, i) =>
-      positionsFor(Seq(w)).filter($"term" === w)
-        .select($"docId", explode($"positions").as("p"))
-        .select($"docId", ($"p" - i).as("p0"))
+      positionRows(Seq(w), fids).filter($"term" === w)
+        .select($"docId", ($"pos" - i).as("p0"))
     }
     // doc has the phrase iff some start position p0 appears in every list
     exploded.reduce((a, b) => a.join(b, Seq("docId", "p0"), "left_semi"))

@@ -33,9 +33,38 @@ object Events {
       .withColumn("ts", col("ts").cast("timestamp"))
     hourlyCounts(stream.withWatermark("ts", "2 hours"))
       .writeStream
+      // complete mode re-emits the whole result each batch — fine for
+      // the bounded test corpus, NOT for unbounded key sets; the scale
+      // path is hourlyCountsAppendStream below
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Append-mode variant for unbounded streams: only watermark-finalized
+    * windows emit, so state is bounded by the watermark horizon (2h of
+    * open windows) instead of every key ever seen — the 100-TB/day
+    * deployment shape. Sink is a parquet dir (exactly-once via the
+    * checkpoint). Append mode requires the event-time window itself in
+    * the grouping key. */
+  def hourlyCountsAppendStream(spark: SparkSession, dir: String,
+                               outDir: String, checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+    stream.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
   }

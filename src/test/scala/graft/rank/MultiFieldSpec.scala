@@ -66,4 +66,24 @@ class MultiFieldSpec extends AnyFunSuite {
     val hits = engine.searchDF("pasta", 10).collect()
     assert(hits.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
   }
+
+  test("attributesToSearchOn: restricting to title drops body-only matches") {
+    // 'cooking': title of doc 0 only; body of docs 1 and 3
+    val all = mr.search("cooking", 10).collect().map(_.getInt(0)).toSet
+    assert(all == Set(0, 1, 3))
+    val titleOnly = mr.search("cooking", 10, searchOnFids = Some(Set(0)))
+      .collect().map(_.getInt(0)).toSet
+    assert(titleOnly == Set(0), s"restricted to title: $titleOnly")
+    val bodyOnly = mr.search("cooking", 10, searchOnFids = Some(Set(1)))
+      .collect().map(_.getInt(0)).toSet
+    assert(bodyOnly == Set(1, 3), s"restricted to body: $bodyOnly")
+  }
+
+  test("attributesToSearchOn applies to multi-word queries and positions") {
+    // 'cooking pasta' adjacent: title of doc 0, body of doc 1
+    val titleOnly = mr.search("cooking pasta", 10, searchOnFids = Some(Set(0)))
+      .collect().map(_.getInt(0)).toSeq
+    assert(titleOnly.headOption.contains(0) && !titleOnly.contains(1),
+      s"body-only doc 1 must not appear: $titleOnly")
+  }
 }

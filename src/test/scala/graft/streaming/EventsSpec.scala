@@ -37,4 +37,37 @@ class EventsSpec extends AnyFunSuite {
       assert(math.abs(s._4 - b._4) < 1e-6)
     }
   }
+
+  test("append-mode stream emits only finalized windows, each matching batch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-a")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-events-out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-events-cp").toString
+    val q = Events.hourlyCountsAppendStream(spark, streamDir.toString, outDir, cpDir)
+    q.awaitTermination(120000)
+
+    val batch = Events.hourlyCounts(spark.read.parquet(s"$dir/events.parquet"))
+      .select(
+        org.apache.spark.sql.functions.date_format($"hour", "yyyy-MM-dd HH:mm:ss"),
+        $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    val emitted = spark.read.parquet(outDir)
+      .select(
+        org.apache.spark.sql.functions.date_format($"hour", "yyyy-MM-dd HH:mm:ss"),
+        $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect()
+
+    // finalized windows are a nonempty strict subset (the last 2h of
+    // open windows are withheld by the watermark), each row exact
+    assert(emitted.nonEmpty && emitted.length < batch.size)
+    emitted.foreach { case (h, t, n, v) =>
+      val (bn, bv) = batch((h, t))
+      assert(n == bn && math.abs(v - bv) < 1e-6, s"window $h/$t mismatch")
+    }
+  }
 }
