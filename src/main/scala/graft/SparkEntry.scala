@@ -408,6 +408,13 @@ object SparkEntry {
     """sh AS (SELECT DISTINCT doc_id AS id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS shingle
       | FROM tl, unnest(range(len(ts) - 2)) AS u(i) WHERE len(ts) >= 3)""".stripMargin
 
+  /** Kirsch-Mitzenmacher minhash base: two 40-bit halves of one md5
+    * per shingle — mirrors `Dedup.minhashSignatures`. */
+  private val MinHashCte =
+    """mh AS (SELECT id,
+      | ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h1,
+      | ('0x' || substr(md5(shingle), 11, 10))::BIGINT AS h2 FROM sh)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dict" ->
       s"""$TOK SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
@@ -469,9 +476,10 @@ object SparkEntry {
     "q_jaccard" ->
       s"""$TOK,
          |$ShingleCte,
-         |sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
+         |shh AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle FROM sh),
+         |sz AS (SELECT id, count(*) AS s FROM shh GROUP BY id),
          |pairs AS (SELECT a.id AS a, b.id AS b, count(*) AS inter
-         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         | FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.id < b.id
          | GROUP BY a.id, b.id)
          |SELECT p.a AS a, p.b AS b, p.inter AS inter,
          | (sa.s + sb.s - p.inter) AS uni,
@@ -480,23 +488,25 @@ object SparkEntry {
          |WHERE round(p.inter / (sa.s + sb.s - p.inter), 6) >= 0.2 ORDER BY a, b""".stripMargin,
     "q_minhash" ->
       s"""$TOK,
-         |$ShingleCte
-         |SELECT id, min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-         | min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-         |FROM sh GROUP BY id ORDER BY id""".stripMargin,
+         |$ShingleCte,
+         |$MinHashCte
+         |SELECT id, min(h1 + 0*h2) AS mh0, min(h1 + 1*h2) AS mh1,
+         | min(h1 + 2*h2) AS mh2, min(h1 + 3*h2) AS mh3
+         |FROM mh GROUP BY id ORDER BY id""".stripMargin,
     "q_lsh_pairs" ->
       s"""$TOK,
          |$ShingleCte,
-         |sig AS (SELECT id, min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-         |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-         |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-         | FROM sh GROUP BY id),
+         |$MinHashCte,
+         |sig AS (SELECT id, min(h1 + 0*h2) AS mh0, min(h1 + 1*h2) AS mh1,
+         |  min(h1 + 2*h2) AS mh2, min(h1 + 3*h2) AS mh3,
+         |  min(h1 + 4*h2) AS mh4, min(h1 + 5*h2) AS mh5,
+         |  min(h1 + 6*h2) AS mh6, min(h1 + 7*h2) AS mh7
+         | FROM mh GROUP BY id),
          |buckets AS (
-         | SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig UNION ALL
-         | SELECT id, 1, md5(mh2 || '|' || mh3) FROM sig UNION ALL
-         | SELECT id, 2, md5(mh4 || '|' || mh5) FROM sig UNION ALL
-         | SELECT id, 3, md5(mh6 || '|' || mh7) FROM sig)
+         | SELECT id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bh FROM sig UNION ALL
+         | SELECT id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM sig UNION ALL
+         | SELECT id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM sig UNION ALL
+         | SELECT id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM sig)
          |SELECT DISTINCT l.id AS a, r.id AS b FROM buckets l
          |JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id ORDER BY a, b""".stripMargin,
     "q_simhash" ->

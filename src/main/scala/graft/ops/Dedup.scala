@@ -28,7 +28,7 @@ object Dedup {
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokensCol(col(textCol))
-    df.where(size(toks) >= n)
+    Par.widen(df).where(size(toks) >= n)
       .select(col(idCol).as("id"),
         explode(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
@@ -50,13 +50,27 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double,
                    maxShingleDf: Long = 100000L): DataFrame = {
+    // the self-join runs on a 60-bit md5-derived key, not the shingle
+    // string: 8-byte join/shuffle keys instead of ~n·8-byte strings.
+    // Hashing happens AFTER the string-level distinct (a collision would
+    // merge two shingles — mirrored bit-for-bit by the oracle, which
+    // hashes the same way, so results stay exactly comparable; P(any
+    // collision) ~ m²/2^61, negligible at any per-corpus vocabulary)
     val sh0 = shingles(df, idCol, textCol, n)
-    val sh = (if (maxShingleDf == Long.MaxValue) sh0 else {
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("shingle"))
+    // NO cache: the three consumers (sizes + both join sides) recompute
+    // the codegen'd shingle scan — at 10^12 docs caching this would
+    // thrash the block manager (same reasoning as the index build's
+    // re-scan policy), and measured at test scale recompute is faster
+    // than the columnar cache round-trip
+    val sh = if (maxShingleDf == Long.MaxValue) sh0 else {
       val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
         .where(col("sdf") > maxShingleDf)
         .select(col("shingle"))
       sh0.join(hot, Seq("shingle"), "left_anti")
-    }).cache()
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.withColumnRenamed("id", "a")
     val b = sh.withColumnRenamed("id", "b")
@@ -73,14 +87,21 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jacc"))
   }
 
-  /** MinHash signatures: mh_j = min over shingles of md5(j || ':' ||
-    * shingle). String-min over md5 hex = a deterministic, portable
-    * universal hash family (MinHash per Broder '97). One aggregation. */
+  /** MinHash signatures (MinHash per Broder '97): ONE md5 per shingle,
+    * split into two 40-bit halves h1/h2, then the Kirsch-Mitzenmacher
+    * composite family h_j = h1 + j·h2 — 64 hash functions for the price
+    * of one digest (the md5-per-(j,shingle) variant was the dominant
+    * cost of the minhash/LSH queries). 40-bit halves keep
+    * h1 + 63·h2 < 2^46, so the arithmetic is overflow-free in both
+    * Spark and the DuckDB oracle. One aggregation, map-side combinable. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
+      .withColumn("_d", md5(col("shingle")))
+      .withColumn("_h1", conv(substring(col("_d"), 1, 10), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(col("_d"), 11, 10), 16, 10).cast("long"))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+      min(col("_h1") + lit(j.toLong) * col("_h2")).as(s"mh$j"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -108,7 +129,7 @@ object Dedup {
     * bit), weighted by term frequency (Charikar '02, reduced width so
     * the external oracle stays expressible). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    val tok = Par.widen(df).select(col(idCol).as("id"),
         explode(tokensCol(col(textCol))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("term")))

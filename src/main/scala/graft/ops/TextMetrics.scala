@@ -19,7 +19,7 @@ object TextMetrics {
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(textCol)
     val stopArr = array(StopWords.map(lit): _*)
-    df.select(
+    Par.widen(df).select(
       col(idCol).as("id"),
       length(col(textCol)).as("n_chars_m"),
       size(t).as("n_tokens"),
@@ -48,7 +48,7 @@ object TextMetrics {
       val arr = array(words.map(lit): _*)
       size(filter(t, x => array_contains(arr, x))).as(s"s_$lang")
     }
-    val scored = df.select(col(idCol).as("id") +: scores: _*)
+    val scored = Par.widen(df).select(col(idCol).as("id") +: scores: _*)
     val best = LangSignatures.map(_._1).foldRight(lit("und"): Column) {
       case (lang, elseCol) =>
         val isMax = LangSignatures.map(_._1).filter(_ != lang)
@@ -61,7 +61,7 @@ object TextMetrics {
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive near-exact dedup key (word-bag fingerprint). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), array_distinct(toks(textCol)).as("d"))
+    Par.widen(df).select(col(idCol).as("id"), array_distinct(toks(textCol)).as("d"))
       .select(col("id"),
         md5(concat_ws(" ", array_sort(col("d")))).as("fp"),
         size(col("d")).as("n_distinct"))

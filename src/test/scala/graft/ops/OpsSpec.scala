@@ -44,13 +44,19 @@ class OpsSpec extends AnyFunSuite {
   test("minhash signatures match scala recompute") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Kirsch-Mitzenmacher family: h_j = h1 + j*h2, 40-bit md5 halves
+    def hj(s: String, j: Int): Long = {
+      val d = md5hex(s)
+      java.lang.Long.parseLong(d.substring(0, 10), 16) +
+        j.toLong * java.lang.Long.parseLong(d.substring(10, 20), 16)
+    }
     val got = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 4)
-      .as[(Long, String, String, String, String)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
     texts.foreach { case (id, t) =>
       val sh = shingleSet(t, 3)
       if (sh.nonEmpty) {
-        val want = (0 until 4).map(j => sh.map(s => md5hex(s"$j:$s")).min)
+        val want = (0 until 4).map(j => sh.map(s => hj(s, j)).min)
         assert(got(id) == want, s"doc $id")
       } else assert(!got.contains(id))
     }
