@@ -101,10 +101,16 @@ final class MeiliRank(engine: SearchEngine,
       if (ph) Nil
       else (1 until w.length).flatMap(i => Seq(w.substring(0, i), w.substring(i)))
     }
-    // 2-gram merges of adjacent bag words (reference make_ngram)
-    val ngrams: Seq[(Int, String)] = flagged.zipWithIndex.sliding(2).collect {
-      case Seq(((a, false), i), ((b, false), _)) => (i, a + b)
-    }.toSeq
+    // 2- and 3-gram merges of adjacent bag words (reference make_ngram,
+    // max ngram 3 — parse_query.rs:217-283): (startSlot, compound, width)
+    val ngrams: Seq[(Int, String, Int)] =
+      flagged.zipWithIndex.sliding(2).collect {
+        case Seq(((a, false), i), ((b, false), _)) => (i, a + b, 2)
+      }.toSeq ++
+      flagged.zipWithIndex.sliding(3).collect {
+        case Seq(((a, false), i), ((b, false), _), ((c, false), _)) =>
+          (i, a + b + c, 3)
+      }.toSeq
     val known = engine.td.lookup(
       (words ++ synExp ++ splitParts ++ ngrams.map(_._2)).distinct)
 
@@ -139,14 +145,15 @@ final class MeiliRank(engine: SearchEngine,
       }
       Slot(i, w, derivs.toSeq, phraseDerivs.result(), noTypo = isPhrase)
     }
-    // attach ngram derivations: the merged compound covers BOTH slots —
-    // cost 1 (= n−1) on the left, 0 on the right, never exact
+    // attach ngram derivations: the merged compound covers ALL its
+    // slots — cost n−1 on the leftmost, 0 on the others, never exact
     val ngramBySlot = ngrams.filter(n => known.contains(n._2))
     if (ngramBySlot.isEmpty) base
     else base.map { s =>
-      val extra =
-        ngramBySlot.collect { case (i, m) if i == s.idx => (m, 1) } ++
-          ngramBySlot.collect { case (i, m) if i + 1 == s.idx => (m, 0) }
+      val extra = ngramBySlot.collect {
+        case (i, m, w) if s.idx >= i && s.idx < i + w =>
+          (m, if (s.idx == i) w - 1 else 0)
+      }
       if (extra.isEmpty) s
       else {
         val d = scala.collection.mutable.LinkedHashMap(s.derivations: _*)
@@ -241,7 +248,8 @@ final class MeiliRank(engine: SearchEngine,
              lastIsPrefix: Boolean = false,
              strategy: TermsMatching = TermsMatching.Last,
              scoreThreshold: Option[Double] = None,
-             searchOnFids: Option[Set[Int]] = None): DataFrame = {
+             searchOnFids: Option[Set[Int]] = None,
+             rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
     val pq = QueryParser.parse(q)
     val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
@@ -369,20 +377,39 @@ final class MeiliRank(engine: SearchEngine,
           .otherwise(1))
 
     // ---- rank columns -> mixed-radix global score ----------------------
+    // Rule order is a SETTING (reference Criterion list,
+    // criterion.rs:12-40: users reorder/remove rules and insert custom
+    // `field:asc|desc` rules). Every rank column is computed regardless
+    // (they're cheap projections over the same joins); the configured
+    // order decides both the lexicographic sort and the mixed-radix
+    // score. Custom/sort rules order results but — like the reference's
+    // ScoreDetails::Sort — contribute no radix digits to rankingScore.
     // maxTypo budget includes +1 per slot: split-word and ngram
     // derivations cost 1 beyond the word's own typo budget
     val maxTypo = slots.map(s => Levenshtein.budgetFor(s.original)).sum + n
     val maxProx = 8 * math.max(n - 1, 0)
     val maxPos = 48 * n
     val maxFid = wMax * n // 0 for single-field → rule is a merge identity
-    val rules: Seq[(Column, Int)] = Seq( // (rank, maxRank) per rule
-      ($"wordsRank", n),
-      (lit(maxTypo + 1) - $"typoCost", maxTypo + 1),
-      (lit(maxProx + 1) - $"proxCost", maxProx + 1),
-      (lit(maxFid + 1) - least($"fidCost", lit(maxFid)), maxFid + 1),
-      (lit(maxPos + 1) - least($"posCost", lit(maxPos)), maxPos + 1),
-      ($"exactAttr", 3),
-      ($"exactWords" + 1, n + 1))
+    def ruleParts(name: String): (Seq[Column], Seq[(Column, Int)]) = name match {
+      case "words" => (Seq($"wordsRank".desc), Seq(($"wordsRank", n)))
+      case "typo" => (Seq($"typoCost".asc),
+        Seq((lit(maxTypo + 1) - $"typoCost", maxTypo + 1)))
+      case "proximity" => (Seq($"proxCost".asc),
+        Seq((lit(maxProx + 1) - $"proxCost", maxProx + 1)))
+      case "attribute" => (Seq($"fidCost".asc, $"posCost".asc),
+        Seq((lit(maxFid + 1) - least($"fidCost", lit(maxFid)), maxFid + 1),
+          (lit(maxPos + 1) - least($"posCost", lit(maxPos)), maxPos + 1)))
+      case "sort" => (sortBy.toSeq.map { case (c, asc) =>
+        if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last }, Nil)
+      case "exactness" => (Seq($"exactAttr".desc, $"exactWords".desc),
+        Seq(($"exactAttr", 3), ($"exactWords" + 1, n + 1)))
+      case MeiliRank.CustomRule(f, dir) =>
+        (Seq(if (dir == "asc") col(f).asc_nulls_last else col(f).desc_nulls_last), Nil)
+      case other => throw new IllegalArgumentException(
+        s"unknown ranking rule '$other' (words|typo|proximity|attribute|sort|exactness|<field>:asc|<field>:desc)")
+    }
+    val parts = rankingRules.map(ruleParts)
+    val rules: Seq[(Column, Int)] = parts.flatMap(_._2)
     val (mergedRank, mergedMax) = rules.foldLeft((lit(1L): Column, 1L)) {
       case ((accR, accM), (r, m)) =>
         ((accR - 1L) * m + r.cast("long"), accM * m)
@@ -400,18 +427,10 @@ final class MeiliRank(engine: SearchEngine,
         Seq("docId"), "left_semi")
       case None => scored
     }
-    val sortCols: Seq[Column] = sortBy match {
-      case Some((col0, asc)) =>
-        // user sort slots between attribute and exactness (criterion.rs)
-        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc,
-          $"fidCost".asc, $"posCost".asc,
-          if (asc) col(col0).asc_nulls_last else col(col0).desc_nulls_last,
-          $"exactAttr".desc, $"exactWords".desc, $"docId".asc)
-      case None =>
-        Seq($"wordsRank".desc, $"typoCost".asc, $"proxCost".asc,
-          $"fidCost".asc, $"posCost".asc,
-          $"exactAttr".desc, $"exactWords".desc, $"docId".asc)
-    }
+    // lexicographic sort in configured rule order (default: user sort —
+    // the "sort" rule — slots between attribute and exactness,
+    // criterion.rs), docid-asc tie-break last
+    val sortCols: Seq[Column] = parts.flatMap(_._1) :+ $"docId".asc
     val withMeta = filtered.join(engine.docs.drop("len"), Seq("docId"))
     val ordered = distinct match {
       case Some(dcol) =>
@@ -427,6 +446,14 @@ final class MeiliRank(engine: SearchEngine,
 }
 
 object MeiliRank {
+  /** Default rule order (reference criterion.rs:12-40 / default_criteria). */
+  val DefaultRules: Seq[String] =
+    Seq("words", "typo", "proximity", "attribute", "sort", "exactness")
+
+  /** `field:asc` / `field:desc` custom ranking rule (criterion.rs
+    * Criterion::Asc/Desc). */
+  private[rank] val CustomRule = "([A-Za-z_][A-Za-z0-9_]*):(asc|desc)".r
+
   /** Pure mixed-radix rank merge (score_details.rs:408-429): global
     * score from ordered (rank, maxRank) pairs. */
   def mergeRanks(ranks: Seq[(Long, Long)]): Double = {

@@ -38,7 +38,8 @@ class QuerySyntaxSpec extends AnyFunSuite {
     (2L, "quick brown fox"),
     (3L, "the fox eats the quick dog"),
     (4L, "quickbrown fox runs"),
-    (5L, "the dog sleeps"))
+    (5L, "the dog sleeps"),
+    (6L, "quickbrownfox leaps"))
 
   lazy val engine: SearchEngine = {
     val dir = Files.createTempDirectory("qsyntax").toString
@@ -95,6 +96,22 @@ class QuerySyntaxSpec extends AnyFunSuite {
     // exact matches rank above the ngram match
     val order = mr.search("quick brown", 10).collect().map(_.getInt(0)).toSeq
     assert(order.indexOf(1) < order.indexOf(4))
+  }
+
+  test("3-gram merge: three adjacent query words match the indexed compound") {
+    // 'quickbrownfox' (doc 6) via the 3-gram at cost 2 (= n−1); the
+    // 2-gram 'quickbrown' (doc 4) still matches slots 0-1 at cost 1
+    val got = mr.search("quick brown fox", 10).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId.contains(6), s"3-gram doc missing: ${byId.keySet}")
+    assert(byId(6)._2 == 3 && byId(6)._3 == 2,
+      s"compound covers all 3 slots at 2 typos: ${byId(6)}")
+    // doc 4: slots 0-1 via 2-gram (cost 1) + slot 2 'fox' exact
+    assert(byId(4)._2 == 3 && byId(4)._3 == 1, s"${byId(4)}")
+    // exact phrase docs outrank both compounds
+    val order = got.map(_._1).toSeq
+    assert(order.indexOf(1) < order.indexOf(4) && order.indexOf(4) < order.indexOf(6))
   }
 
   test("matching strategies: Last vs All vs Frequency (words_tms mirror)") {

@@ -136,4 +136,40 @@ class MeiliRankSpec extends AnyFunSuite {
     // merge((2,3),(1,2)) = ((2-1)*2+1)/(3*2) = 3/6
     assert(MeiliRank.mergeRanks(Seq((2L, 3L), (1L, 2L))) == 0.5)
   }
+
+  test("rankingRules: default list reproduces the default cascade exactly") {
+    val a = mr.search("the quick brown fox", 20).collect().map(_.toSeq)
+    val b = mr.search("the quick brown fox", 20,
+      rankingRules = MeiliRank.DefaultRules).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("rankingRules: reordering rules reorders results") {
+    // default: doc 5 ("brown fox quick the", words=4, bad proximity)
+    // ranks above doc 3 ("the quack brown fox", words=4, 1 typo, perfect
+    // proximity) because typo precedes proximity. Swapping them flips it.
+    val default = mr.search("the quick brown fox", 20).collect().map(_.getInt(0)).toSeq
+    assert(default.indexOf(5) < default.indexOf(3))
+    val swapped = mr.search("the quick brown fox", 20,
+      rankingRules = Seq("words", "proximity", "typo", "attribute", "sort", "exactness"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(swapped.indexOf(3) < swapped.indexOf(5),
+      s"proximity-before-typo must prefer doc 3: $swapped")
+  }
+
+  test("rankingRules: custom field:desc rule orders within words buckets") {
+    // words-only cascade + docId descending as the custom rule: within
+    // each wordsRank bucket docs come back in reverse docId order
+    // unknown rule must fail fast (at plan construction)
+    intercept[IllegalArgumentException] {
+      mr.search("the quick brown fox", 20,
+        rankingRules = Seq("words", "doc_id_desc_probe"))
+    }
+    val rows = mr.search("the quick brown fox", 20,
+      rankingRules = Seq("words", "docId:desc")).collect()
+    val byRank = rows.groupBy(_.getInt(1)).view.mapValues(_.map(_.getInt(0)).toSeq)
+    byRank.foreach { case (_, ids) =>
+      assert(ids == ids.sortBy(-_), s"within-bucket ids must be descending: $ids")
+    }
+  }
 }
