@@ -1,0 +1,90 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.index.{IndexBuild, IndexConfig}
+import graft.search.SearchEngine
+
+/** The reference-shaped search API facade: one SearchRequest drives
+  * filter, sort, paging, matching strategy, attributesToSearchOn, and
+  * ranking-rule configuration together. */
+class IndexApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "spark merge batch", "alpha plan spark merge", "en"),
+    (1L, "merge tool", "spark merge runs in the batch tier", "en"),
+    (2L, "spark merge", "unrelated body text", "fr"),
+    (3L, "other title", "spark merge spark merge", "en"),
+    (4L, "spark title", "no match here", "en"))
+
+  lazy val idx: Index = {
+    val dir = Files.createTempDirectory("apiidx").toString
+    val df = docs.toDF("doc_id", "title", "body", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildMultiField(spark, df, "doc_id",
+      fields = Seq(("title", 0), ("body", 1)),
+      langCol = "lang", sourceCol = "source", indexDir = dir,
+      cfg = IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2))
+    new Index(new SearchEngine(spark, dir))
+  }
+
+  test("plain search ranks title matches first (fid rule)") {
+    val rows = idx.search(SearchRequest(q = "spark merge")).collect()
+    val ids = rows.map(_.getInt(0)).toSeq
+    assert(ids.head == 2 || ids.head == 0, s"title match first: $ids")
+    // strategy Last keeps partial-prefix matches: doc 4 ('spark' only)
+    // ranks last with wordsRank 1
+    assert(ids.toSet == Set(0, 1, 2, 3, 4) && ids.last == 4, s"$ids")
+    assert(rows.last.getInt(1) == 1, "doc 4 matches only the first word")
+  }
+
+  test("filter + matchingStrategy=all compose") {
+    val ids = idx.search(SearchRequest(q = "spark merge batch",
+      filter = Some("lang = en"), matchingStrategy = "all"))
+      .collect().map(_.getInt(0)).toSet
+    assert(ids == Set(0, 1), s"en docs with all three words: $ids")
+  }
+
+  test("offset paging slices the ranked stream deterministically") {
+    val all = idx.search(SearchRequest(q = "spark merge", limit = 10))
+      .collect().map(_.getInt(0)).toSeq
+    val page2 = idx.search(SearchRequest(q = "spark merge", limit = 2, offset = 2))
+      .collect().map(_.getInt(0)).toSeq
+    assert(page2 == all.slice(2, 4), s"$page2 vs $all")
+  }
+
+  test("attributesToSearchOn restricts to named fields") {
+    val titleOnly = idx.search(SearchRequest(q = "batch",
+      attributesToSearchOn = Some(Seq("title"))))
+      .collect().map(_.getInt(0)).toSet
+    assert(titleOnly == Set(0), s"batch in title only: $titleOnly")
+    intercept[IllegalArgumentException] {
+      idx.search(SearchRequest(q = "batch",
+        attributesToSearchOn = Some(Seq("nope"))))
+    }
+  }
+
+  test("sort entries slot into the rule cascade at the sort position") {
+    // words-only + lang sort: groups by wordsRank, then lang ascending
+    val rows = idx.search(SearchRequest(q = "spark merge",
+      sort = Seq("lang:asc"),
+      rankingRules = Seq("words", "sort"))).collect()
+    val langs = rows.map(_.getAs[String]("lang")).toSeq
+    val ranks = rows.map(_.getInt(1)).toSeq
+    ranks.zip(langs).sliding(2).foreach {
+      case Seq((r1, l1), (r2, l2)) =>
+        assert(r1 > r2 || (r1 == r2 && l1 <= l2), s"$ranks / $langs")
+      case _ =>
+    }
+  }
+
+  test("totalHits counts the filtered universe exhaustively") {
+    assert(idx.totalHits(SearchRequest(q = "spark merge",
+      filter = Some("lang = en"))) == 4)
+  }
+}
