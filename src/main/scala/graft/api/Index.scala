@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.rank.{MeiliRank, TermsMatching}
+import graft.rank.{MeiliRank, TermsMatching, TypoSettings}
 import graft.search.SearchEngine
 
 /** One search call, mirroring the reference's search API surface
@@ -31,8 +31,9 @@ final case class SearchRequest(
   * entry point over the ranking cascade. Everything stays a DataFrame —
   * the caller composes further or collects. */
 final class Index(val engine: SearchEngine,
-                  synonyms: Map[String, Seq[String]] = Map.empty) {
-  private val mr = new MeiliRank(engine, synonyms)
+                  synonyms: Map[String, Seq[String]] = Map.empty,
+                  typo: TypoSettings = TypoSettings()) {
+  private val mr = new MeiliRank(engine, synonyms, typo)
   import engine.spark.implicits._
 
   /** field name → fid for attributesToSearchOn (multi-field indexes). */

@@ -26,6 +26,20 @@ final case class Slot(idx: Int, original: String,
                       phraseDerivs: Seq[(Seq[String], Int)] = Nil,
                       noTypo: Boolean = false)
 
+/** Typo-tolerance settings (reference index settings: authorize_typos
+  * index.rs:36-37, min_word_len_one_typo / min_word_len_two_typos
+  * defaults 5/9 parse_query.rs:194-215, exact_words FST — words listed
+  * there get no typo derivations). */
+final case class TypoSettings(enabled: Boolean = true,
+                              oneTypo: Int = 5, twoTypos: Int = 9,
+                              exactWords: Set[String] = Set.empty) {
+  def budgetFor(word: String): Int =
+    if (!enabled || exactWords.contains(word)) 0
+    else if (word.length < oneTypo) 0
+    else if (word.length < twoTypos) 1
+    else 2
+}
+
 /** Term-removal strategy for the words rule (reference
   * TermsMatchingStrategy, milli/src/search/mod.rs:352; removal order
   * search/new/mod.rs:219-248). */
@@ -75,7 +89,8 @@ object TermsMatching {
   * negatives subtract from the universe (search/new/mod.rs:268-295).
   */
 final class MeiliRank(engine: SearchEngine,
-                      synonyms: Map[String, Seq[String]] = Map.empty) {
+                      synonyms: Map[String, Seq[String]] = Map.empty,
+                      typo: TypoSettings = TypoSettings()) {
   private val spark = engine.spark
   import spark.implicits._
 
@@ -119,7 +134,7 @@ final class MeiliRank(engine: SearchEngine,
       val phraseDerivs = Vector.newBuilder[(Seq[String], Int)]
       if (known.contains(w)) derivs(w) = 0
       if (!isPhrase) {
-        val budget = Levenshtein.budgetFor(w)
+        val budget = typo.budgetFor(w)
         synonyms.getOrElse(w, Nil).foreach { s =>
           val ts = Tokenizer.terms(s)
           if (ts.size == 1) {
@@ -386,7 +401,7 @@ final class MeiliRank(engine: SearchEngine,
     // ScoreDetails::Sort — contribute no radix digits to rankingScore.
     // maxTypo budget includes +1 per slot: split-word and ngram
     // derivations cost 1 beyond the word's own typo budget
-    val maxTypo = slots.map(s => Levenshtein.budgetFor(s.original)).sum + n
+    val maxTypo = slots.map(s => typo.budgetFor(s.original)).sum + n
     val maxProx = 8 * math.max(n - 1, 0)
     val maxPos = 48 * n
     val maxFid = wMax * n // 0 for single-field → rule is a merge identity

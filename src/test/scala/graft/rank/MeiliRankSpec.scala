@@ -157,6 +157,24 @@ class MeiliRankSpec extends AnyFunSuite {
       s"proximity-before-typo must prefer doc 3: $swapped")
   }
 
+  test("typo settings: exactWords and authorizeTypos=false disable derivations") {
+    // default: 'quock' (len 5, budget 1) reaches 'quick' at 1 typo
+    val withTypos = mr.search("quock", 20).collect().map(_.getInt(0)).toSet
+    assert(withTypos.nonEmpty, "1-typo derivation must match")
+    // exact_words: the listed query word gets no typo derivations
+    val exact = new MeiliRank(engine,
+      typo = TypoSettings(exactWords = Set("quock")))
+    assert(exact.search("quock", 20).collect().isEmpty)
+    // authorize_typos = false: same
+    val off = new MeiliRank(engine, typo = TypoSettings(enabled = false))
+    assert(off.search("quock", 20).collect().isEmpty)
+    // raised min word size: len-5 word drops below the one-typo bar
+    val strict = new MeiliRank(engine, typo = TypoSettings(oneTypo = 6))
+    assert(strict.search("quock", 20).collect().isEmpty)
+    // exact matches are never affected
+    assert(off.search("quick brown", 20).collect().nonEmpty)
+  }
+
   test("rankingRules: custom field:desc rule orders within words buckets") {
     // words-only cascade + docId descending as the custom rule: within
     // each wordsRank bucket docs come back in reverse docId order
