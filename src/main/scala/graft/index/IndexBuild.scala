@@ -346,20 +346,60 @@ object IndexBuild {
     writeStats(spark, indexDir, cfg)
   }
 
-  /** stats table from lineage counts + dictionary cf sums (no corpus
-    * scan). */
+  /** Delete documents by docid: append a lineage-committed tombstone
+    * batch (reference DELETE /documents; the on-disk model is
+    * Lucene-style live-docs — postings/positions of deleted docs stay
+    * until [[compact]], every SearchEngine read path excludes them).
+    * Like Lucene, corpus statistics (N, avgdl, df→idf) keep counting
+    * tombstoned docs until compaction, so surviving docs' BM25 scores
+    * are bit-identical before and after a delete — compaction is the
+    * point where statistics converge to the live corpus. Idempotent
+    * per batchId. */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Int],
+             batchId: String): Unit = {
+    import spark.implicits._
+    Lineage.stage(spark, indexDir, s"delete_$batchId") {
+      ids.toDF("docId").repartition(1)
+        .write.mode("overwrite").parquet(s"$indexDir/deleted/batch=d$batchId")
+      Nil
+    }
+  }
+
+  /** Rewrite the index without tombstoned documents: rebuild through
+    * the standard pipeline from the live doc store (bounded tombstone
+    * model: delete() is O(batch), compact() is the amortized rewrite —
+    * at 10^12 files it is a full parallel re-index, run it when the
+    * tombstone fraction justifies reclaiming scan/skip efficiency). */
+  def compact(spark: SparkSession, indexDir: String, outDir: String,
+              cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val docs0 = spark.read.parquet(s"$indexDir/docs")
+      .select($"docId", $"repo", $"path", $"commit", $"lang", $"content")
+    val delP = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
+    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (fs.exists(delP))
+        docs0.join(broadcast(spark.read.parquet(s"$indexDir/deleted").select($"docId")),
+          Seq("docId"), "left_anti")
+      else docs0
+    build(spark, live.select($"repo", $"path", $"commit", $"lang", $"content")
+      .as[graft.corpus.SourceFile], outDir, cfg)
+  }
+
+  /** stats table: one column-pruned (docId, len) scan over the doc
+    * store. Tombstoned docs stay counted (Lucene semantics — see
+    * [[delete]]); [[compact]] is where statistics shrink to live. */
   private def writeStats(spark: SparkSession, indexDir: String,
                          cfg: IndexConfig): Unit = {
     import spark.implicits._
-    val n = Lineage.read(spark, indexDir)
-      .filter($"stage".startsWith("docs"))
-      .agg(coalesce(sum($"postingCount"), lit(0L))).as[Long].head()
-    // avgdl from the docs len column (column-pruned scan), NOT from dict
-    // cf sums: with stop words the dictionary undercounts tokens while
-    // `len` (the BM25 norm) counts them all — avgdl must match len's
-    // definition or norms skew
-    val tokens = spark.read.parquet(s"$indexDir/docs")
-      .agg(coalesce(sum($"len"), lit(0L))).as[Long].head()
+    // avgdl from the docs len column, NOT from dict cf sums: with stop
+    // words the dictionary undercounts tokens while `len` (the BM25
+    // norm) counts them all — avgdl must match len's definition or
+    // norms skew
+    val row = spark.read.parquet(s"$indexDir/docs").select($"len")
+      .agg(count(lit(1)), coalesce(sum($"len"), lit(0L))).collect()(0)
+    val n = row.getLong(0)
+    val tokens = row.getLong(1)
     val avgdl = if (n == 0) 0.0 else tokens.toDouble / n
     Seq(("N", n.toDouble), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
       ("docsPerShard", cfg.docsPerShard.toDouble),

@@ -80,7 +80,32 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   lazy val dict: Map[String, Long] = td.fullMap.getOrElse(
     throw new IllegalStateException("dictionary too large to collect; use td"))
 
-  def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+  /** Tombstoned docids (IndexBuild.delete): every read path excludes
+    * them — postings/positions of deleted docs remain on disk until
+    * `IndexBuild.compact` rewrites the index (the Lucene live-docs
+    * model). The set is broadcast-small by contract: delete() keeps a
+    * counter and compaction bounds it; the cap fails fast with a
+    * compact-first message. */
+  lazy val deletedDf: Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$indexDir/deleted").select($"docId"))
+    else None
+  }
+  private lazy val deletedSet: Set[Int] = deletedDf match {
+    case None => Set.empty
+    case Some(d) =>
+      val n = d.count()
+      require(n <= SearchEngine.TombstoneCap,
+        s"$n tombstones exceed the broadcastable cap (${SearchEngine.TombstoneCap}): run IndexBuild.compact")
+      d.as[Int].collect().toSet
+  }
+  /** Restrict a (docId, …) DataFrame to live docs. */
+  private def liveOnly(df: DataFrame): DataFrame =
+    deletedDf.fold(df)(d => df.join(broadcast(d), Seq("docId"), "left_anti"))
+
+  def docs: DataFrame = liveOnly(spark.read.parquet(s"$indexDir/docs"))
 
   /** Dictionary-resolved QueryTerms for already-tokenized terms. */
   def termsOf(ts: Seq[String]): Seq[QueryTerm] = {
@@ -121,14 +146,19 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms.map(_.term): _*))
   }
 
-  /** Decode blocks into (docId, term, tf) rows (narrow flatMap). */
-  def decoded(terms: Seq[QueryTerm]): Dataset[Posting] =
+  /** Decode blocks into (docId, term, tf) rows (narrow flatMap);
+    * tombstoned docids are dropped during decode. */
+  def decoded(terms: Seq[QueryTerm]): Dataset[Posting] = {
+    val del = deletedSet
     blocksFor(terms).select($"term", $"docBytes", $"tfBytes")
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (term, db, tb) =>
         val ids = VByte.decodeDeltas(db); val tfs = VByte.decode(tb)
-        ids.iterator.zip(tfs.iterator).map { case (d, tf) => Posting(d, term, tf) }
+        val it = ids.iterator.zip(tfs.iterator)
+          .map { case (d, tf) => Posting(d, term, tf) }
+        if (del.isEmpty) it else it.filter(p => !del.contains(p.docId))
       }
+  }
 
   /** Declarative BM25 search. `conjunctive=true` = AND semantics (docs
     * matching all query terms), false = OR. `candidates` (optional)
@@ -257,11 +287,11 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
         count(lit(1)).as("n"))
 
   /** Positions rows for the given terms (bucket-pruned scan of the
-    * positions table). */
+    * positions table), live docs only. */
   def positionsFor(terms: Seq[String]): DataFrame = {
     val buckets = terms.map(IndexBuild.bucketOf(_, termBuckets)).distinct
-    spark.read.parquet(s"$indexDir/positions")
-      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+    liveOnly(spark.read.parquet(s"$indexDir/positions")
+      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*)))
   }
 
   /** Exploded (docId, pos) rows for the given terms, optionally
@@ -464,4 +494,8 @@ object SearchEngine {
     * executor broadcast; a skewed stop-word term (df ≈ 40% of corpus)
     * exceeds it immediately and routes to the shuffle join instead. */
   final val BroadcastDfCap: Long = 4L << 20
+
+  /** Max tombstones held as a task-local set (4M Ints ≈ 16 MB);
+    * beyond it, compact. */
+  final val TombstoneCap: Long = 4L << 20
 }

@@ -158,11 +158,17 @@ object Wand {
         i += 1
       }
       if (ok) {
-        val len = lens.getOrElse(d, 0)
-        // deterministic sum order: ascending term (matches searchDF)
-        val s = (Array(lead) ++ others).sortBy(_.term)
-          .foldLeft(0.0)((acc, c) => acc + c.score(len, avgdl))
-        topk.offer(d, s)
+        // a docId absent from lens is not live (tombstoned delete whose
+        // postings still exist) — skip it entirely; scoring it with a
+        // default len would both resurrect it and skew its norm
+        lens.get(d) match {
+          case Some(len) =>
+            // deterministic sum order: ascending term (matches searchDF)
+            val s = (Array(lead) ++ others).sortBy(_.term)
+              .foldLeft(0.0)((acc, c) => acc + c.score(len, avgdl))
+            topk.offer(d, s)
+          case None => ()
+        }
         lead.next()
       } else {
         // advance lead to the furthest blocker
@@ -227,12 +233,16 @@ object Wand {
         cs(0).advanceTo(target)
       } else if (cs(0).curDoc == pivot) {
         // all cursors ahead of p sit on pivot -> fully score it
-        // (deterministic sum order: ascending term, matches searchDF)
-        val len = lens.getOrElse(pivot, 0)
+        // (deterministic sum order: ascending term, matches searchDF);
+        // a pivot absent from lens is tombstoned — skip, don't score
         val atPivot = cs.takeWhile(_.curDoc == pivot)
-        val s = atPivot.sortBy(_.term)
-          .foldLeft(0.0)((acc, c) => acc + c.score(len, avgdl))
-        topk.offer(pivot, s)
+        lens.get(pivot) match {
+          case Some(len) =>
+            val s = atPivot.sortBy(_.term)
+              .foldLeft(0.0)((acc, c) => acc + c.score(len, avgdl))
+            topk.offer(pivot, s)
+          case None => ()
+        }
         atPivot.foreach(_.next())
       } else {
         // advance the largest-UB cursor still strictly before the pivot
