@@ -235,6 +235,24 @@ object SparkEntry {
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .filter(col("rn") > 20).drop("rn")
     }),
+    // ---- deletion: tombstoned docs excluded, Lucene stats (U1 del) ------
+    "q_delete" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft-delidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val first200 = docsDf(s, dir).orderBy(col("doc_id")).limit(200)
+      // lineage-committed: repeated calls resume/no-op
+      graft.index.IndexBuild.buildFromTable(s, first200,
+        docIdCol = "doc_id", contentCol = "text", langCol = "lang",
+        sourceCol = "source", indexDir = idxDir,
+        cfg = graft.index.IndexConfig(docsPerShard = 64, termBuckets = 4,
+          blockSize = 128, numPartitions = 8))
+      graft.index.IndexBuild.delete(s, idxDir,
+        (0 until 200 by 7).toSeq, "d1")
+      new graft.search.SearchEngine(s, idxDir)
+        .searchDF("batch stream", 1000000, conjunctive = true)
+        .select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+    }),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -622,6 +640,26 @@ object SparkEntry {
          |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id)
          |SELECT doc_id, round(s, 6) AS score FROM agg
          |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20 OFFSET 20""".stripMargin,
+    "q_delete" ->
+      // Lucene live-docs semantics: N/avgdl/df count ALL 200 docs (the
+      // statistics base includes tombstones until compaction); only the
+      // output rows exclude deleted ids
+      """WITH d200 AS (SELECT * FROM documents WHERE doc_id < 200),
+        |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM d200),
+        |tf AS (SELECT doc_id, unnest(ts) AS term FROM tl),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(ts) AS len FROM tl),
+        |st AS (SELECT (SELECT count(*) FROM d200) AS n, (SELECT avg(len) FROM dl) AS avgdl),
+        |dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |bm AS (SELECT tfc.doc_id, tfc.term,
+        |  ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * tfc.tf * 2.2 /
+        |  (tfc.tf + 1.2 * (0.25 + 0.75 * dl.len / st.avgdl)) AS ts
+        | FROM tfc JOIN dft USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+        | WHERE tfc.term IN ('batch', 'stream')),
+        |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id HAVING count(*) = 2)
+        |SELECT doc_id, round(s, 6) AS score FROM agg
+        |WHERE doc_id % 7 <> 0
+        |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value
