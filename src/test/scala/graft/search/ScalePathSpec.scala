@@ -103,4 +103,23 @@ class ScalePathSpec extends AnyFunSuite {
       assert(a == b)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("posting scan prunes bucket partitions and pushes the term predicate") {
+    val e = new SearchEngine(spark, dictIdx)
+    val terms = e.termsOf(Seq("return"))
+    assert(terms.nonEmpty)
+    val plan = e.blocksFor(terms).queryExecution.executedPlan.toString
+    // directory-partition pruning on bucket=... (reads only the query's
+    // term buckets) AND the term equality pushed into the parquet reader
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partitions must prune:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term predicate must push down:\n$plan")
+    // column pruning: the scan must not read posting payload columns it
+    // doesn't need for this projection
+    val pruned = e.blocksFor(terms).select("term", "shard")
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("docBytes"),
+      s"payload columns must prune out of a metadata projection:\n$pruned")
+  }
 }
