@@ -23,7 +23,10 @@ final case class SearchRequest(
     rankingScoreThreshold: Option[Double] = None,
     distinct: Option[String] = None,
     rankingRules: Seq[String] = MeiliRank.DefaultRules,
-    lastWordIsPrefix: Boolean = false)
+    lastWordIsPrefix: Boolean = false,
+    highlight: Boolean = false,
+    cropLength: Option[Int] = None,
+    preTag: String = "<em>", postTag: String = "</em>")
 
 /** Index-level client facade: settings (synonyms live here, like the
   * reference's index settings; stop words and field weights are
@@ -72,15 +75,50 @@ final class Index(val engine: SearchEngine,
       scoreThreshold = r.rankingScoreThreshold,
       searchOnFids = fids,
       rankingRules = rules)
-    if (r.offset == 0) ranked
-    else {
-      // offset+limit is page-sized (reference caps at maxTotalHits):
-      // slice the already-ranked top-(offset+limit) driver-side, exactly
-      // like the reference's paginator — never a global-sort skip
-      val rows = ranked.collect().drop(r.offset).toSeq
-      engine.spark.createDataFrame(
-        engine.spark.sparkContext.parallelize(rows, 1), ranked.schema)
-    }
+    val sliced =
+      if (r.offset == 0) ranked
+      else {
+        // offset+limit is page-sized (reference caps at maxTotalHits):
+        // slice the already-ranked top-(offset+limit) driver-side,
+        // exactly like the reference's paginator — never a global-sort
+        // skip
+        val rows = ranked.collect().drop(r.offset).toSeq
+        engine.spark.createDataFrame(
+          engine.spark.sparkContext.parallelize(rows, 1), ranked.schema)
+      }
+    if (!r.highlight && r.cropLength.isEmpty) sliced
+    else withFormatted(sliced, r)
+  }
+
+  /** `_formatted` column: crop to the best window, wrap every matched
+    * derivation (typo forms included) with pre/post tags — driver-side
+    * over the k result rows, the reference's Matcher model
+    * (matches/mod.rs: re-tokenize stored fields against MatchingWords;
+    * k is page-sized by contract, no cluster work needed). */
+  private def withFormatted(page: DataFrame, r: SearchRequest): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val terms = mr.analyze(r.q, r.lastWordIsPrefix)
+      .flatMap(s => s.derivations.map(_._1) ++ s.phraseDerivs.flatMap(_._1)).toSet
+    val rows = page.collect()
+    val ids = rows.map(_.getAs[Int]("docId")).toSeq
+    val contents =
+      if (ids.isEmpty) Map.empty[Int, String]
+      else engine.docs.filter(col("docId").isin(ids: _*))
+        .select($"docId", $"content").as[(Int, String)].collect().toMap
+    val out = rows.map { row =>
+      val text = contents.getOrElse(row.getAs[Int]("docId"), "")
+      val cropped = r.cropLength.fold(text)(n =>
+        graft.search.Highlighter.crop(text, terms, n))
+      val fmt =
+        if (r.highlight)
+          graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag)
+        else cropped
+      Row.fromSeq(row.toSeq :+ fmt)
+    }.toSeq
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.parallelize(out, 1),
+      StructType(page.schema.fields :+ StructField("_formatted", StringType)))
   }
 
   /** Exhaustive hit count for the request's query + filter. */

@@ -83,6 +83,21 @@ class IndexApiSpec extends AnyFunSuite {
     }
   }
 
+  test("highlight + crop produce a _formatted column over matched derivations") {
+    val rows = idx.search(SearchRequest(q = "spark merge", highlight = true))
+      .collect()
+    val byId = rows.map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    assert(byId(0).contains("<em>spark</em>") && byId(0).contains("<em>merge</em>"),
+      s"${byId(0)}")
+    // crop shortens long fields to the best window around matches
+    val cropped = idx.search(SearchRequest(q = "batch", highlight = true,
+      cropLength = Some(3))).collect()
+      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    assert(cropped(1).contains("<em>batch</em>"))
+    assert(cropped(1).length < docs(1)._2.length + docs(1)._3.length,
+      s"crop must shorten: ${cropped(1)}")
+  }
+
   test("totalHits counts the filtered universe exhaustively") {
     assert(idx.totalHits(SearchRequest(q = "spark merge",
       filter = Some("lang = en"))) == 4)
