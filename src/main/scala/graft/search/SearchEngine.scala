@@ -450,7 +450,8 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * candidates whose normalized value starts with `facetQuery`, with
     * counts, ordered by count desc then value (OrderBy::Count). */
   def facetSearch(q: String, facetCol: String, facetQuery: String,
-                  maxValues: Int = 100, typoTolerant: Boolean = false): DataFrame = {
+                  maxValues: Int = 100, typoTolerant: Boolean = false,
+                  orderByLex: Boolean = false): DataFrame = {
     val norm = Tokenizer.normalize(facetQuery.trim)
     // normalize BOTH sides identically (reference normalizes the facet
     // value into facet_id_normalized_string_strings, lib.rs:378-380) —
@@ -472,9 +473,12 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
           v != null && (v.startsWith(norm) || Levenshtein(v, norm) <= budget))
         grouped.filter(levUdf(col("nv")))
       }
-    matched.drop("nv")
-      .orderBy(col("n").desc, col("value").asc)
-      .limit(maxValues)
+    // reference OrderBy::Count (default) vs OrderBy::Lexicographic
+    // (facet_values_sort_order setting, search/facet/search.rs)
+    val ordered =
+      if (orderByLex) matched.orderBy(col("value").asc)
+      else matched.orderBy(col("n").desc, col("value").asc)
+    ordered.drop("nv").limit(maxValues)
   }
 
   /** Top-k + document materialization (reference make_hits). */

@@ -101,6 +101,10 @@ class SearchFeaturesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(vals.nonEmpty && vals.forall(_._1.startsWith("s"))) // scala
     assert(vals.map(_._2) == vals.map(_._2).sorted.reverse)
+    // OrderBy::Lexicographic variant sorts by value
+    val lex = e.facetSearch("return", "lang", "", orderByLex = true)
+      .as[(String, Long)].collect().toSeq
+    assert(lex.map(_._1) == lex.map(_._1).sorted)
   }
 
   test("synonyms expand query-side at zero typo cost, non-exact") {
