@@ -178,6 +178,30 @@ object SparkEntry {
     // 2-gram merge: neither 'win' nor 'dow' is a vocab term; the merged
     // compound 'window' matches both slots at ngram cost 1
     "q_meili_ngram" -> ((s, dir) => meiliQuery(s, dir, "win dow")),
+    // ---- words-rule matching strategies (R1: All / Frequency) ----------
+    "q_tms_all" -> ((s, dir) =>
+      meiliQuery(s, dir, "spark merge batch", strategy = graft.rank.TermsMatching.All)),
+    "q_tms_freq" -> ((s, dir) =>
+      meiliQuery(s, dir, "spark window merge", strategy = graft.rank.TermsMatching.Frequency)),
+    // ---- rankingScoreThreshold (reference bucket_sort.rs:242-258) -------
+    "q_threshold" -> ((s, dir) =>
+      meiliQuery(s, dir, "spark merge", scoreThreshold = Some(0.5))),
+    // ---- sort rule inside the cascade (R5: slots between attribute and
+    // exactness, criterion.rs) --------------------------------------------
+    "q_sort_rule" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+      meiliCols(mr.search("spark merge", 50, sortBy = Some(("lang", true))),
+        col("lang"))
+    }),
+    // ---- synonyms (X4): single-word (cost 0) + multi-word (adjacency) ---
+    "q_synonym" -> ((s, dir) =>
+      meiliQuery(s, dir, "lookup ts",
+        synonyms = Map("lookup" -> Seq("query"), "ts" -> Seq("table scan")))),
+    // ---- split-word derivation (A7: unknown compound -> best split) -----
+    "q_split" -> ((s, dir) => meiliQuery(s, dir, "sparkmerge batch")),
+    // ---- last-word-as-prefix inside the cascade (X5) --------------------
+    "q_meili_prefix" -> ((s, dir) =>
+      meiliQuery(s, dir, "spark win", lastIsPrefix = true)),
     // ---- query-string syntax: phrase + negative in one query -----------
     "q_mixed" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
@@ -253,6 +277,90 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc).limit(20)
     }),
+    // ---- field distribution (A5) + exhaustive count (A6) ----------------
+    "q_field_dist" -> ((s, dir) => {
+      val fd = DocIndex.engine(s, dir).fieldDistribution()
+      s.createDataFrame(fd.toSeq.sortBy(_._1)).toDF("field", "n_docs")
+        .orderBy(col("field"))
+    }),
+    "q_total_hits" -> ((s, dir) => {
+      val th = DocIndex.engine(s, dir)
+        .totalHits("batch stream", conjunctive = false, filter = Some("lang = en"))
+      s.createDataFrame(Seq(Tuple1(th))).toDF("total_hits")
+    }),
+    // ---- stop words as an index setting (X3): dropped from dict/
+    // postings/positions; surrounding positions and doc len preserved ----
+    "q_stopword" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft-stopidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val sub = docsDf(s, dir).filter(col("doc_id") < 300)
+      graft.index.IndexBuild.buildFromTable(s, sub,
+        docIdCol = "doc_id", contentCol = "text", langCol = "lang",
+        sourceCol = "source", indexDir = idxDir,
+        cfg = graft.index.IndexConfig(docsPerShard = 64, termBuckets = 4,
+          blockSize = 128, numPartitions = 8, positions = true,
+          stopWords = Set("the", "a")))
+      val mr = new graft.rank.MeiliRank(new graft.search.SearchEngine(s, idxDir))
+      meiliCols(mr.search("the spark merge", 50))
+    }),
+    // ---- multi-field index + fid ranking rule (R4 fid sub-rule) ---------
+    "q_multifield" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft-mfidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      // synthetic title field: every 7th doc gets 'spark boost' in its
+      // title (weight 0 = most important), so the fid rule reorders
+      // body-only matches below title matches; mirrored in the oracle.
+      // `lang` (pure alpha) as the non-boost title — the shared
+      // tokenization spec breaks on digit-bearing values like 'src3'
+      val src = docsDf(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("spark boost"))
+          .otherwise(col("lang")).as("title"),
+        col("text").as("body"), col("lang"), col("source"))
+      graft.index.IndexBuild.buildMultiField(s, src, "doc_id",
+        fields = Seq(("title", 0), ("body", 1)), langCol = "lang",
+        sourceCol = "source", indexDir = idxDir,
+        cfg = graft.index.IndexConfig(docsPerShard = 512, termBuckets = 4,
+          blockSize = 128, numPartitions = 8, positions = true))
+      val mr = new graft.rank.MeiliRank(new graft.search.SearchEngine(s, idxDir))
+      meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
+    }),
+    // ---- federated multi-index search (weighted score merge) -----------
+    "q_federation" -> ((s, dir) => {
+      val base = s"/tmp/graft-fedidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val cfg = graft.index.IndexConfig(docsPerShard = 256, termBuckets = 4,
+        blockSize = 128, numPartitions = 8)
+      val d = docsDf(s, dir)
+      graft.index.IndexBuild.buildFromTable(s, d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lang", "source", s"$base/a", cfg)
+      graft.index.IndexBuild.buildFromTable(s, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang", "source", s"$base/b", cfg)
+      val eA = new graft.search.SearchEngine(s, s"$base/a")
+      val eB = new graft.search.SearchEngine(s, s"$base/b")
+      graft.search.Federation.search(
+          Seq(("a", eA, 1.0), ("b", eB, 0.5)), "batch stream", 1000000,
+          conjunctive = true)
+        .select(col("indexUid").as("index_uid"),
+          col("docId").cast("long").as("doc_id"),
+          round(col("weightedScore"), 6).as("weighted_score"))
+        .orderBy(col("weighted_score").desc, col("index_uid").asc, col("doc_id").asc)
+        .limit(30)
+    }),
+    // ---- dump export -> import -> search roundtrip (S5) ----------------
+    "q_dump" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+      val dumpDir = s"/tmp/graft-dump-v1/$tag"
+      val impDir = s"/tmp/graft-dumpidx-v1/$tag"
+      graft.index.Dump.exportDump(s, DocIndex.engine(s, dir).indexDir, dumpDir)
+      graft.index.Dump.importDump(s, dumpDir, impDir,
+        graft.index.IndexConfig(numPartitions = 8))
+      val e = new graft.search.SearchEngine(s, impDir)
+      // import reassigns dense docids by (repo, path) rank; `path` holds
+      // the original external id, so results map back exactly
+      e.searchDF("spark merge", 1000000, conjunctive = true)
+        .join(e.docs.select(col("docId"), col("path")), Seq("docId"))
+        .select(col("path").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -273,23 +381,54 @@ object SparkEntry {
     })
   )
 
-  private def meiliQuery(s: SparkSession, dir: String, q: String): DataFrame = {
-    val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
-    mr.search(q, 50)
-      .select(col("docId").cast("long").as("doc_id"),
-        col("wordsRank").cast("long").as("words_rank"),
-        col("typoCost").cast("long").as("typo_cost"),
-        col("proxCost").cast("long").as("prox_cost"),
-        col("posCost").cast("long").as("pos_cost"),
-        col("exactAttr").cast("long").as("exact_attr"),
-        col("exactWords").cast("long").as("exact_words"),
-        col("rankingScore").as("ranking_score"))
+  private def meiliQuery(s: SparkSession, dir: String, q: String,
+                         strategy: graft.rank.TermsMatching = graft.rank.TermsMatching.Last,
+                         scoreThreshold: Option[Double] = None,
+                         synonyms: Map[String, Seq[String]] = Map.empty,
+                         lastIsPrefix: Boolean = false): DataFrame = {
+    val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir), synonyms = synonyms)
+    meiliCols(mr.search(q, 50, strategy = strategy, scoreThreshold = scoreThreshold,
+      lastIsPrefix = lastIsPrefix))
   }
+
+  private def meiliCols(df: DataFrame, extra: org.apache.spark.sql.Column*): DataFrame =
+    df.select(Seq(col("docId").cast("long").as("doc_id"),
+      col("wordsRank").cast("long").as("words_rank"),
+      col("typoCost").cast("long").as("typo_cost"),
+      col("proxCost").cast("long").as("prox_cost"),
+      col("posCost").cast("long").as("pos_cost"),
+      col("exactAttr").cast("long").as("exact_attr"),
+      col("exactWords").cast("long").as("exact_words"),
+      col("rankingScore").as("ranking_score")) ++ extra: _*)
 
   /** DuckDB oracle for the rule cascade: same slot/derivation/typo-
     * budget/proximity/position/exactness logic in pure SQL (integers
-    * end-to-end, so the comparison is exact). */
-  private def meiliCtes(words: Seq[String]): String = {
+    * end-to-end, so the comparison is exact).
+    *
+    * Generalized over the engine's settings surface:
+    *  - `strategy`: the words-rule keep-order permutation ("last" =
+    *    query order; "frequency" = ascending document frequency with
+    *    slot tie-break, mirroring MeiliRank's kposArr; "all" filters to
+    *    words_rank == n)
+    *  - `synonyms`: slot word → expansions; single-word expansions are
+    *    cost-0 derivations, multi-word expansions match by adjacency
+    *    (cost 0, positions from the first word — slotPositions)
+    *  - `splits`: slot → split-word pair (cost-1 adjacency match,
+    *    MeiliRank.splitBest)
+    *  - `tokCte`: tokenization prefix (stop-word oracles swap in a
+    *    token stream with stop terms removed but positions/len intact)
+    *  - `fidWeightSql`/`maxFid`: multi-field field-weight expression
+    *    over the raw fid<<16|pos position; the fid radix digit sits
+    *    between proximity and position (identity when maxFid = 0,
+    *    matching MeiliRank's single-field degenerate case) */
+  private def meiliCtes(words: Seq[String],
+                        strategy: String = "last",
+                        synonyms: Map[String, Seq[Seq[String]]] = Map.empty,
+                        splits: Map[Int, Seq[String]] = Map.empty,
+                        tokCte: String = TOK,
+                        fidWeightSql: Option[String] = None,
+                        maxFid: Int = 0,
+                        prefixLast: Boolean = false): String = {
     val budgets = words.map(graft.search.Levenshtein.budgetFor)
     val n = words.length
     // +n: split-word and 2-gram-merge derivations cost 1 beyond the
@@ -297,9 +436,20 @@ object SparkEntry {
     val maxTypo = budgets.sum + n
     val maxProx = 8 * (n - 1)
     val maxPos = 48 * n
-    val maxM = n.toLong * (maxTypo + 1) * (maxProx + 1) * (maxPos + 1) * 3 * (n + 1)
+    val maxM = n.toLong * (maxTypo + 1) * (maxProx + 1) * (maxFid + 1) *
+      (maxPos + 1) * 3 * (n + 1)
     val qsVals = words.zip(budgets).zipWithIndex
       .map { case ((w, b), i) => s"($i,'$w',$b)" }.mkString(",")
+    // keep-order permutation (kpos): Last/All keep query order;
+    // Frequency keeps the least document-frequent longest (reference
+    // removes the most frequent first, search/new/mod.rs:219-248)
+    val kqCte = strategy match {
+      case "frequency" =>
+        """kq AS (SELECT q.slot, q.w, q.budget,
+          |  CAST(row_number() OVER (ORDER BY coalesce(d.df, 0), q.slot) - 1 AS INTEGER) AS kpos
+          |  FROM qs q LEFT JOIN dft d ON d.term = q.w)""".stripMargin
+      case _ => "kq AS (SELECT slot, w, budget, slot AS kpos FROM qs)"
+    }
     // 2-gram merges: the merged compound (if in vocab) covers both
     // slots, cost 1 on the left and 0 on the right, never exact
     val ngramRows = (0 until n - 1).flatMap { i =>
@@ -308,11 +458,54 @@ object SparkEntry {
         s"SELECT $i AS slot, v.term, 1 AS cost, 0 AS isexact FROM vocab v WHERE v.term = '$m'",
         s"SELECT ${i + 1}, v.term, 0, 0 FROM vocab v WHERE v.term = '$m'")
     }
-    val ngramUnion =
-      if (ngramRows.isEmpty) "" else ngramRows.mkString(" UNION ALL ", " UNION ALL ", "")
-    s"""$TOK,
+    // single-word synonym expansions: cost 0, never exact
+    val synRows = words.zipWithIndex.flatMap { case (w, i) =>
+      synonyms.getOrElse(w, Nil).filter(_.size == 1).map(e =>
+        s"SELECT $i AS slot, v.term, 0 AS cost, 0 AS isexact FROM vocab v WHERE v.term = '${e.head}'")
+    }
+    // last-word-as-prefix: every dictionary term starting with the last
+    // word is a cost-0 derivation (exactness still only for the word
+    // itself — covered by the base exact row + max(isexact))
+    val prefixRows =
+      if (!prefixLast) Nil
+      else Seq(s"SELECT ${n - 1} AS slot, v.term, 0 AS cost, 0 AS isexact " +
+        s"FROM vocab v WHERE v.term LIKE '${words.last}%'")
+    val derivUnion = (ngramRows ++ synRows ++ prefixRows) match {
+      case Nil => ""
+      case rows => rows.mkString(" UNION ALL ", " UNION ALL ", "")
+    }
+    // phrase derivations: multi-word synonyms (cost 0) and split words
+    // (cost 1) match where the words occur adjacently; positions come
+    // from the first word (slotPositions)
+    val phraseDerivs: Seq[(Int, Seq[String], Int)] =
+      words.zipWithIndex.flatMap { case (w, i) =>
+        synonyms.getOrElse(w, Nil).filter(_.size > 1).map(ws => (i, ws, 0))
+      } ++ splits.toSeq.map { case (i, ws) => (i, ws, 1) }
+    def phraseMatch(t: (Int, Seq[String], Int)): String = {
+      val (i, ws, cost) = t
+      val joins = ws.indices.tail
+        .map(j => s"JOIN tok t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j")
+        .mkString(" ")
+      val conds = ws.zipWithIndex.map { case (w, j) => s"t$j.term = '$w'" }.mkString(" AND ")
+      s"SELECT DISTINCT t0.doc_id, $i AS slot, $cost AS cost, 0 AS isexact FROM tok t0 $joins WHERE $conds"
+    }
+    val phmUnion =
+      if (phraseDerivs.isEmpty) ""
+      else phraseDerivs.map(phraseMatch)
+        .mkString("\nUNION ALL SELECT doc_id, slot, cost, isexact FROM (", " UNION ALL ", ")")
+    val ppPhrase = phraseDerivs.map { case (i, ws, _) =>
+      s" UNION ALL SELECT DISTINCT tok.doc_id, $i AS slot, tok.pos FROM tok WHERE tok.term = '${ws.head}'"
+    }.mkString
+    val minWr = if (strategy == "all") n else 1
+    val minwSel = fidWeightSql.fold("")(e => s", min($e) AS minw")
+    val minwPass = if (fidWeightSql.isEmpty) "" else ", minw"
+    val fidSel = fidWeightSql.fold("0 AS fid_cost,")(_ =>
+      s"""(SELECT coalesce(sum(m.minw),0) FROM mpb m JOIN kq k ON k.slot = m.slot
+         |      WHERE m.doc_id = b.doc_id AND k.kpos < b.words_rank) AS fid_cost,""".stripMargin)
+    s"""$tokCte,
        |vocab AS (SELECT DISTINCT term FROM tf),
        |qs AS (SELECT * FROM (VALUES $qsVals) t(slot, w, budget)),
+       |$kqCte,
        |deriv0 AS (
        |  SELECT q.slot, v.term,
        |    CASE WHEN v.term = q.w THEN 0
@@ -324,58 +517,86 @@ object SparkEntry {
        |    AND abs(length(v.term) - length(q.w)) <= q.budget
        |    AND levenshtein(v.term, q.w) > 0
        |    AND (CASE WHEN substr(v.term,1,1)=substr(q.w,1,1) THEN levenshtein(v.term,q.w) ELSE levenshtein(v.term,q.w)+1 END) <= q.budget)
-       |  $ngramUnion),
+       |  $derivUnion),
        |deriv AS (SELECT slot, term, min(cost) AS cost, max(isexact) AS isexact
        |  FROM deriv0 GROUP BY 1, 2),
-       |sm AS (SELECT tf.doc_id, d.slot, min(d.cost) AS cost, max(d.isexact) AS isexact
-       |       FROM tf JOIN deriv d USING(term) GROUP BY 1,2),
+       |sm0 AS (SELECT tf.doc_id, d.slot, d.cost, d.isexact
+       |        FROM tf JOIN deriv d USING(term)$phmUnion),
+       |sm AS (SELECT s.doc_id, k.kpos, min(s.cost) AS cost, max(s.isexact) AS isexact
+       |       FROM sm0 s JOIN kq k ON k.slot = s.slot GROUP BY 1, 2),
        |wr AS (SELECT t.doc_id,
-       |         coalesce((SELECT min(q.slot) FROM qs q WHERE NOT EXISTS
-       |           (SELECT 1 FROM sm WHERE sm.doc_id = t.doc_id AND sm.slot = q.slot)), $n) AS words_rank
+       |         coalesce((SELECT min(k.kpos) FROM kq k WHERE NOT EXISTS
+       |           (SELECT 1 FROM sm WHERE sm.doc_id = t.doc_id AND sm.kpos = k.kpos)), $n) AS words_rank
        |       FROM (SELECT DISTINCT doc_id FROM sm) t),
        |base AS (SELECT w.doc_id, w.words_rank,
-       |    (SELECT coalesce(sum(s.cost),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.slot < w.words_rank) AS typo_cost,
-       |    (SELECT coalesce(sum(s.isexact),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.slot < w.words_rank) AS exact_words
-       |  FROM wr w WHERE w.words_rank >= 1),
-       |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)),
+       |    (SELECT coalesce(sum(s.cost),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.kpos < w.words_rank) AS typo_cost,
+       |    (SELECT coalesce(sum(s.isexact),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.kpos < w.words_rank) AS exact_words
+       |  FROM wr w WHERE w.words_rank >= $minWr),
+       |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)$ppPhrase),
        |pairs AS (SELECT a.doc_id, a.slot AS s1,
        |    least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END), 8) AS prox
        |  FROM pp a JOIN pp b ON a.doc_id=b.doc_id AND b.slot = a.slot + 1 GROUP BY 1,2),
-       |prox AS (SELECT b.doc_id, CASE WHEN b.words_rank<2 THEN 0
-       |    ELSE 8*(b.words_rank-1) - coalesce((SELECT sum(8-p.prox) FROM pairs p
-       |      WHERE p.doc_id=b.doc_id AND p.s1 <= b.words_rank-2),0) END AS prox_cost
+       |prox AS (SELECT b.doc_id,
+       |    coalesce((SELECT sum(p.prox) FROM pairs p
+       |      JOIN kq k1 ON k1.slot = p.s1 JOIN kq k2 ON k2.slot = p.s1 + 1
+       |      WHERE p.doc_id = b.doc_id AND k1.kpos < b.words_rank AND k2.kpos < b.words_rank), 0) AS prox_cost
        |  FROM base b),
-       |mp AS (SELECT doc_id, slot, min(pos) AS minpos FROM pp GROUP BY 1,2),
-       |mpb AS (SELECT doc_id, slot, minpos,
-       |    CASE WHEN minpos<16 THEN minpos WHEN minpos<24 THEN 16+(minpos-16)//2
-       |         WHEN minpos<64 THEN 20+(minpos-24)//8 WHEN minpos<256 THEN 25+(minpos-64)//32
-       |         WHEN minpos<1024 THEN 31+(minpos-256)//128
-       |         ELSE least(47, 37+(minpos-1024)//1024) END AS pb FROM mp),
+       |mp AS (SELECT doc_id, slot, min(pos) AS minpos, min(pos % 65536) AS minrel$minwSel
+       |  FROM pp GROUP BY 1, 2),
+       |mpb AS (SELECT doc_id, slot, minpos$minwPass,
+       |    CASE WHEN minrel<16 THEN minrel WHEN minrel<24 THEN 16+(minrel-16)//2
+       |         WHEN minrel<64 THEN 20+(minrel-24)//8 WHEN minrel<256 THEN 25+(minrel-64)//32
+       |         WHEN minrel<1024 THEN 31+(minrel-256)//128
+       |         ELSE least(47, 37+(minrel-1024)//1024) END AS pb FROM mp),
        |posc AS (SELECT b.doc_id,
-       |    (SELECT coalesce(sum(m.pb),0) FROM mpb m WHERE m.doc_id=b.doc_id AND m.slot<b.words_rank) AS pos_cost,
+       |    (SELECT coalesce(sum(m.pb),0) FROM mpb m JOIN kq k ON k.slot = m.slot
+       |      WHERE m.doc_id = b.doc_id AND k.kpos < b.words_rank) AS pos_cost,
+       |    $fidSel
        |    (SELECT min(m.minpos) FROM mpb m WHERE m.doc_id=b.doc_id AND m.slot=0) AS first_pos
        |  FROM base b),
-       |fin AS (SELECT b.doc_id, b.words_rank, b.typo_cost, x.prox_cost, p.pos_cost, b.exact_words,
+       |fin AS (SELECT b.doc_id, b.words_rank, b.typo_cost, x.prox_cost, p.pos_cost, p.fid_cost, b.exact_words,
        |    CASE WHEN b.words_rank=$n AND b.exact_words=$n AND p.first_pos=0 AND x.prox_cost<=${n - 1}
        |         THEN (CASE WHEN dl.len=$n THEN 3 ELSE 2 END) ELSE 1 END AS exact_attr
        |  FROM base b JOIN prox x USING(doc_id) JOIN posc p USING(doc_id) JOIN dl ON dl.doc_id=b.doc_id),
        |meili AS (SELECT doc_id, CAST(words_rank AS BIGINT) AS words_rank,
        |  CAST(typo_cost AS BIGINT) AS typo_cost, CAST(prox_cost AS BIGINT) AS prox_cost,
+       |  CAST(fid_cost AS BIGINT) AS fid_cost,
        |  CAST(pos_cost AS BIGINT) AS pos_cost, CAST(exact_attr AS BIGINT) AS exact_attr,
        |  CAST(exact_words AS BIGINT) AS exact_words,
-       |  CAST((((((words_rank - 1) * ${maxTypo + 1} + ${maxTypo + 1} - typo_cost - 1) * ${maxProx + 1}
-       |    + ${maxProx + 1} - prox_cost - 1) * ${maxPos + 1} + ${maxPos + 1} - least(pos_cost, $maxPos) - 1) * 3
+       |  CAST(((((((words_rank - 1) * ${maxTypo + 1} + ${maxTypo + 1} - typo_cost - 1) * ${maxProx + 1}
+       |    + ${maxProx + 1} - prox_cost - 1) * ${maxFid + 1} + ${maxFid + 1} - least(fid_cost, $maxFid) - 1) * ${maxPos + 1}
+       |    + ${maxPos + 1} - least(pos_cost, $maxPos) - 1) * 3
        |    + exact_attr - 1) * ${n + 1} + exact_words + 1 AS DOUBLE) / $maxM AS ranking_score
        |FROM fin)""".stripMargin
   }
 
-  private def meiliOracleSql(words: Seq[String], k: Int): String =
-    s"""${meiliCtes(words)}
-       |SELECT doc_id, words_rank, typo_cost, prox_cost, pos_cost,
-       |  exact_attr, exact_words, ranking_score
-       |FROM meili
-       |ORDER BY words_rank DESC, typo_cost ASC, prox_cost ASC, pos_cost ASC,
-       |  exact_attr DESC, exact_words DESC, doc_id ASC LIMIT $k""".stripMargin
+  /** Final SELECT over the `meili` CTE: the cascade's lexicographic
+    * order with optional user-sort keys between attribute and exactness
+    * (the "sort" rule slot), an optional threshold/strategy WHERE, and
+    * optional extra output columns. */
+  private def meiliOracleSql(words: Seq[String], k: Int,
+                             strategy: String = "last",
+                             synonyms: Map[String, Seq[Seq[String]]] = Map.empty,
+                             splits: Map[Int, Seq[String]] = Map.empty,
+                             tokCte: String = TOK,
+                             fidWeightSql: Option[String] = None,
+                             maxFid: Int = 0,
+                             sortJoin: String = "",
+                             sortKeys: Seq[String] = Nil,
+                             extraCols: String = "",
+                             fidCol: Boolean = false,
+                             where: String = "",
+                             prefixLast: Boolean = false): String = {
+    val sortMid = if (sortKeys.isEmpty) "" else sortKeys.mkString("", ", ", ", ")
+    val fidOut = if (fidCol) "m.fid_cost, " else ""
+    s"""${meiliCtes(words, strategy, synonyms, splits, tokCte, fidWeightSql, maxFid, prefixLast)}
+       |SELECT m.doc_id, m.words_rank, m.typo_cost, m.prox_cost, ${fidOut}m.pos_cost,
+       |  m.exact_attr, m.exact_words, m.ranking_score$extraCols
+       |FROM meili m $sortJoin
+       |$where
+       |ORDER BY m.words_rank DESC, m.typo_cost ASC, m.prox_cost ASC, m.fid_cost ASC, m.pos_cost ASC,
+       |  ${sortMid}m.exact_attr DESC, m.exact_words DESC, m.doc_id ASC LIMIT $k""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Shared prefix: tokenization with positions.
@@ -385,6 +606,39 @@ object SparkEntry {
       |tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tl),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
       |dl AS (SELECT doc_id, len(ts) AS len FROM tl),
+      |st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(len) FROM dl) AS avgdl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+
+  /** Stop-word-index tokenization (q_stopword): the first 300 docs with
+    * stop terms ('the', 'a') removed from the searchable token stream —
+    * but positions of the surviving tokens and the doc length keep their
+    * full-tokenization values (IndexBuild: tokenize, then filter; `len`
+    * counts all tokens). */
+  private val StopTok =
+    """WITH dsub AS (SELECT * FROM documents WHERE doc_id < 300),
+      |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM dsub),
+      |tokall AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tl),
+      |tok AS (SELECT * FROM tokall WHERE term NOT IN ('the', 'a')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(ts) AS len FROM tl),
+      |st AS (SELECT (SELECT count(*) FROM dsub) AS n, (SELECT avg(len) FROM dl) AS avgdl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+
+  /** Two-field tokenization (q_multifield): positions carry the fid in
+    * the high 16 bits (fid*65536 + relative pos, IndexBuild
+    * .buildMultiField); doc len = total tokens across fields. Title
+    * mirrors the q_multifield synthetic field exactly. */
+  private val MfTok =
+    """WITH flds AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'spark boost' ELSE lang END AS title,
+      |  text AS body FROM documents),
+      |tl AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(title),'[^a-z0-9]+'), x -> x <> '') AS ts0,
+      |  list_filter(string_split_regex(lower(body),'[^a-z0-9]+'), x -> x <> '') AS ts1 FROM flds),
+      |tok AS (SELECT doc_id, unnest(ts0) AS term, unnest(range(len(ts0))) AS pos FROM tl
+      |  UNION ALL SELECT doc_id, unnest(ts1), 65536 + unnest(range(len(ts1))) FROM tl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(ts0) + len(ts1) AS len FROM tl),
       |st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(len) FROM dl) AS avgdl),
       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
 
@@ -425,6 +679,24 @@ object SparkEntry {
   private val ShingleCte =
     """sh AS (SELECT DISTINCT doc_id AS id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS shingle
       | FROM tl, unnest(range(len(ts) - 2)) AS u(i) WHERE len(ts) >= 3)""".stripMargin
+
+  /** Per-sub-index BM25 CTEs for the federation oracle: each index has
+    * its OWN N / avgdl / df statistics (they are independent indexes,
+    * exactly as Federation fans out). Emits tl_/tf_/dl_/st_/dft_/agg_
+    * CTEs suffixed by `alias`; agg_ is the conjunctive summed score. */
+  private def fedBm(alias: String, pred: String, terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""tl_$alias AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM documents WHERE $pred),
+       |tf_$alias AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(ts) AS term FROM tl_$alias) GROUP BY 1, 2),
+       |dl_$alias AS (SELECT doc_id, len(ts) AS len FROM tl_$alias),
+       |st_$alias AS (SELECT (SELECT count(*) FROM tl_$alias) AS n, (SELECT avg(len) FROM dl_$alias) AS avgdl),
+       |dft_$alias AS (SELECT term, count(*) AS df FROM tf_$alias GROUP BY 1),
+       |agg_$alias AS (SELECT tf.doc_id,
+       |  sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / st.avgdl))) AS s
+       | FROM tf_$alias tf JOIN dft_$alias dft USING(term) JOIN dl_$alias dl USING(doc_id) CROSS JOIN st_$alias st
+       | WHERE tf.term IN ($in) GROUP BY tf.doc_id HAVING count(*) = ${terms.distinct.size})""".stripMargin
+  }
 
   /** Kirsch-Mitzenmacher minhash base: two 40-bit halves of one md5
     * per shingle — mirrors `Dedup.minhashSignatures`. */
@@ -603,6 +875,51 @@ object SparkEntry {
     "q_meili_rank" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50),
     "q_meili_typo" -> meiliOracleSql(Seq("spork", "merge"), 50),
     "q_meili_ngram" -> meiliOracleSql(Seq("win", "dow"), 50),
+    "q_tms_all" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50, strategy = "all"),
+    "q_tms_freq" -> meiliOracleSql(Seq("spark", "window", "merge"), 50, strategy = "frequency"),
+    "q_threshold" -> meiliOracleSql(Seq("spark", "merge"), 50,
+      where = "WHERE m.ranking_score >= 0.5"),
+    "q_sort_rule" -> meiliOracleSql(Seq("spark", "merge"), 50,
+      sortJoin = "JOIN documents d ON d.doc_id = m.doc_id",
+      sortKeys = Seq("d.lang ASC NULLS LAST"),
+      extraCols = ", d.lang AS lang"),
+    "q_synonym" -> meiliOracleSql(Seq("lookup", "ts"), 50,
+      synonyms = Map("lookup" -> Seq(Seq("query")), "ts" -> Seq(Seq("table", "scan")))),
+    "q_split" -> meiliOracleSql(Seq("sparkmerge", "batch"), 50,
+      // 'sparkmerge' has exactly one in-vocabulary split (spark|merge),
+      // so the engine's frequency-based splitBest choice is static here
+      splits = Map(0 -> Seq("spark", "merge"))),
+    "q_meili_prefix" -> meiliOracleSql(Seq("spark", "win"), 50, prefixLast = true),
+    "q_stopword" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = StopTok),
+    "q_multifield" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = MfTok,
+      fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
+      maxFid = 2, fidCol = true),
+    "q_field_dist" ->
+      """WITH c AS (SELECT count(*) AS n FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'commit' AS field, n AS n_docs FROM c UNION ALL
+        |  SELECT 'content', n FROM c UNION ALL
+        |  SELECT 'content_sha256', n FROM c UNION ALL
+        |  SELECT 'lang', n FROM c UNION ALL
+        |  SELECT 'len', n FROM c UNION ALL
+        |  SELECT 'path', n FROM c UNION ALL
+        |  SELECT 'repo', n FROM c)
+        |ORDER BY field""".stripMargin,
+    "q_total_hits" ->
+      s"""$TOK SELECT count(DISTINCT tf.doc_id) AS total_hits
+         |FROM tf JOIN documents d USING(doc_id)
+         |WHERE tf.term IN ('batch', 'stream') AND d.lang = 'en'""".stripMargin,
+    "q_federation" ->
+      s"""WITH ${fedBm("a", "doc_id % 2 = 0", Seq("batch", "stream"))},
+         |${fedBm("b", "doc_id % 2 = 1", Seq("batch", "stream"))}
+         |SELECT * FROM (
+         |  SELECT 'a' AS index_uid, doc_id, round(s * 1.0, 6) AS weighted_score FROM agg_a
+         |  UNION ALL
+         |  SELECT 'b', doc_id, round(s * 0.5, 6) FROM agg_b)
+         |ORDER BY weighted_score DESC, index_uid ASC, doc_id ASC LIMIT 30""".stripMargin,
+    // the dump-import roundtrip must reproduce the source index exactly,
+    // so its oracle is the plain BM25 oracle over the original corpus
+    "q_dump" -> bm25Sql(Seq("spark", "merge"), conjunctive = true, 20),
     "q_mixed" ->
       s"""$TOK,
          |${bmCte(Seq("batch", "spark", "merge"))},

@@ -26,7 +26,10 @@ final case class SearchRequest(
     lastWordIsPrefix: Boolean = false,
     highlight: Boolean = false,
     cropLength: Option[Int] = None,
-    preTag: String = "<em>", postTag: String = "</em>")
+    cropMarker: String = "…",
+    preTag: String = "<em>", postTag: String = "</em>",
+    showMatchesPosition: Boolean = false,
+    attributesToRetrieve: Option[Seq[String]] = None)
 
 /** Index-level client facade: settings (synonyms live here, like the
   * reference's index settings; stop words and field weights are
@@ -86,8 +89,16 @@ final class Index(val engine: SearchEngine,
         engine.spark.createDataFrame(
           engine.spark.sparkContext.parallelize(rows, 1), ranked.schema)
       }
-    if (!r.highlight && r.cropLength.isEmpty) sliced
-    else withFormatted(sliced, r)
+    val formatted =
+      if (!r.highlight && r.cropLength.isEmpty && !r.showMatchesPosition) sliced
+      else withFormatted(sliced, r)
+    // attributesToRetrieve (reference displayed/retrieved attributes):
+    // project to docId + the requested fields + any _-meta columns
+    r.attributesToRetrieve.fold(formatted) { names =>
+      val keep = ("docId" +: names).distinct ++
+        formatted.columns.filter(_.startsWith("_"))
+      formatted.select(keep.map(col): _*)
+    }
   }
 
   /** `_formatted` column: crop to the best window, wrap every matched
@@ -106,19 +117,30 @@ final class Index(val engine: SearchEngine,
       if (ids.isEmpty) Map.empty[Int, String]
       else engine.docs.filter(col("docId").isin(ids: _*))
         .select($"docId", $"content").as[(Int, String)].collect().toMap
+    val wantFmt = r.highlight || r.cropLength.isDefined
     val out = rows.map { row =>
       val text = contents.getOrElse(row.getAs[Int]("docId"), "")
-      val cropped = r.cropLength.fold(text)(n =>
-        graft.search.Highlighter.crop(text, terms, n))
-      val fmt =
-        if (r.highlight)
+      val extra = Seq.newBuilder[Any]
+      if (wantFmt) {
+        val cropped = r.cropLength.fold(text)(n =>
+          graft.search.Highlighter.crop(text, terms, n, r.cropMarker))
+        extra += (if (r.highlight)
           graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag)
-        else cropped
-      Row.fromSeq(row.toSeq :+ fmt)
+        else cropped)
+      }
+      // `_matchesPosition` (reference show_matches_position: per-match
+      // term + word position + char span over the stored field)
+      if (r.showMatchesPosition)
+        extra += graft.search.Highlighter.matchPositions(text, terms)
+          .map(m => s"${m.term}@${m.pos}[${m.start},${m.end})").mkString(";")
+      Row.fromSeq(row.toSeq ++ extra.result())
     }.toSeq
+    val extraFields =
+      (if (wantFmt) Seq(StructField("_formatted", StringType)) else Nil) ++
+        (if (r.showMatchesPosition) Seq(StructField("_matchesPosition", StringType)) else Nil)
     engine.spark.createDataFrame(
       engine.spark.sparkContext.parallelize(out, 1),
-      StructType(page.schema.fields :+ StructField("_formatted", StringType)))
+      StructType(page.schema.fields ++ extraFields))
   }
 
   /** Exhaustive hit count for the request's query + filter. */

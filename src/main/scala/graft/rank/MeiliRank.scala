@@ -455,8 +455,9 @@ final class MeiliRank(engine: SearchEngine,
       case None => withMeta
     }
     ordered.orderBy(sortCols: _*).limit(k)
-      .select($"docId", $"wordsRank", $"typoCost", $"proxCost", $"posCost",
-        $"exactAttr", $"exactWords", $"rankingScore", $"repo", $"path", $"lang")
+      .select($"docId", $"wordsRank", $"typoCost", $"proxCost", $"fidCost",
+        $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
+        $"repo", $"path", $"lang")
   }
 }
 

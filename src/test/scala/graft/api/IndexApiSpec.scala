@@ -98,6 +98,26 @@ class IndexApiSpec extends AnyFunSuite {
       s"crop must shorten: ${cropped(1)}")
   }
 
+  test("showMatchesPosition emits term@pos[start,end) spans; cropMarker is configurable") {
+    val rows = idx.search(SearchRequest(q = "spark merge",
+      showMatchesPosition = true)).collect()
+    val mp = rows.map(r => r.getInt(0) -> r.getAs[String]("_matchesPosition")).toMap
+    // doc 0 title 'spark merge batch': spark at word 0 chars [0,5)
+    assert(mp(0).contains("spark@0[0,5)"), s"${mp(0)}")
+    assert(mp(0).split(";").forall(s => s.contains("@") && s.contains("[")), s"${mp(0)}")
+    val marked = idx.search(SearchRequest(q = "batch", cropLength = Some(3),
+      cropMarker = "[..]")).collect()
+      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    assert(marked(1).contains("[..]") && !marked(1).contains("…"), s"${marked(1)}")
+  }
+
+  test("attributesToRetrieve projects the hit columns") {
+    val df = idx.search(SearchRequest(q = "spark merge",
+      attributesToRetrieve = Some(Seq("lang")), highlight = true))
+    assert(df.columns.toSeq == Seq("docId", "lang", "_formatted"), df.columns.mkString(","))
+    assert(df.collect().nonEmpty)
+  }
+
   test("totalHits counts the filtered universe exhaustively") {
     assert(idx.totalHits(SearchRequest(q = "spark merge",
       filter = Some("lang = en"))) == 4)

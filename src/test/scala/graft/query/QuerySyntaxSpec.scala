@@ -142,7 +142,7 @@ class QuerySyntaxSpec extends AnyFunSuite {
 
   test("rankingScoreThreshold filters low-quality hits") {
     val all = mr.search("quick brown fox", 20).collect()
-    val scores = all.map(_.getDouble(7))
+    val scores = all.map(_.getAs[Double]("rankingScore"))
     val tau = (scores.max + scores.min) / 2
     val cut = mr.search("quick brown fox", 20, scoreThreshold = Some(tau)).collect()
     assert(cut.length == scores.count(_ >= tau) && cut.length < all.length)
@@ -193,7 +193,7 @@ class QuerySyntaxSpec extends AnyFunSuite {
   test("multi-word synonym expands to an adjacency match at cost 0") {
     val mrSyn = new MeiliRank(engine, synonyms = Map("reynard" -> Seq("quick brown")))
     val got = mrSyn.search("reynard", 10).collect()
-      .map(r => (r.getInt(0), r.getInt(2), r.getInt(6))) // id, typo, exactWords
+      .map(r => (r.getInt(0), r.getAs[Int]("typoCost"), r.getAs[Int]("exactWords")))
     assert(got.map(_._1).toSet == Set(0, 1, 2), s"got ${got.toSeq}")
     assert(got.forall(g => g._2 == 0 && g._3 == 0),
       "synonym phrase: zero typo cost, never exact")

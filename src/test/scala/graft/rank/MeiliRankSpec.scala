@@ -52,7 +52,7 @@ class MeiliRankSpec extends AnyFunSuite {
 
   test("typo rule: 1-typo derivation matches with cost, exact words tracked") {
     val got = mr.search("the quick brown fox", 20).collect()
-      .map(r => r.getInt(0) -> (r.getInt(2), r.getInt(6))).toMap // typoCost, exactWords
+      .map(r => r.getInt(0) -> (r.getAs[Int]("typoCost"), r.getAs[Int]("exactWords"))).toMap
     assert(got(3) == ((1, 3)), "doc 3 matches via quack~quick with 1 typo")
     assert(got(1) == ((0, 4)))
   }
@@ -76,7 +76,7 @@ class MeiliRankSpec extends AnyFunSuite {
 
   test("exactness rule: whole-field exact > starts-with > other") {
     val got = mr.search("the quick brown fox", 20).collect()
-      .map(r => r.getInt(0) -> r.getInt(5)).toMap
+      .map(r => r.getInt(0) -> r.getAs[Int]("exactAttr")).toMap
     assert(got(1) == 3)
     assert(got(0) == 2 && got(9) == 2)
     assert(got(5) == 1)
@@ -84,12 +84,13 @@ class MeiliRankSpec extends AnyFunSuite {
 
   test("ranking score is monotone along the cascade order and matches mergeRanks") {
     val got = mr.search("the quick brown fox", 20).collect()
-    val scores = got.map(_.getDouble(7)).toSeq
+    val scores = got.map(_.getAs[Double]("rankingScore")).toSeq
     assert(scores == scores.sorted.reverse, s"scores not monotone: $scores")
     assert(scores.forall(s => s > 0.0 && s <= 1.0))
     // distinct rank tuples must produce distinct scores (mixed radix)
-    val tuples = got.map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
-      r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+    val tuples = got.map(r => (r.getAs[Int]("wordsRank"), r.getAs[Int]("typoCost"),
+      r.getAs[Int]("proxCost"), r.getAs[Int]("posCost"),
+      r.getAs[Int]("exactAttr"), r.getAs[Int]("exactWords"))).toSeq
     assert(tuples.distinct.size == scores.distinct.size)
   }
 

@@ -119,7 +119,7 @@ class SearchFeaturesSpec extends AnyFunSuite {
     val e = new SearchEngine(spark, dir)
     val mr = new MeiliRank(e, synonyms = Map("quick" -> Seq("fast")))
     val got = mr.search("quick", 10).collect()
-      .map(r => r.getInt(0) -> r.getInt(6)).toMap // docId -> exactWords
+      .map(r => r.getInt(0) -> r.getAs[Int]("exactWords")).toMap
     assert(got.keySet == Set(0, 1))
     assert(got(0) == 1, "direct match is exact")
     assert(got(1) == 0, "synonym match is not exact")
