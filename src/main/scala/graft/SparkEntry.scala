@@ -160,9 +160,16 @@ object SparkEntry {
       TextMetrics.langId(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     "q_fingerprint" -> ((s, dir) =>
       TextMetrics.fingerprint(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
+    "q_tokens" -> ((s, dir) =>
+      TextMetrics.tokenEstimate(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     // ---- similarity search ---------------------------------------------
     "q_knn" -> ((s, dir) =>
       Similarity.cosineTopK(embDf(s, dir), "vec_id", "embedding", 0L, 10)),
+    // embedding-cosine near-dup pairs: exact all-pairs baseline (oracle
+    // setting; the scale path is cosineNearDupPairsLsh, recall-spec'd)
+    "q_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embDf(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy(col("a"), col("b"))),
     "q_knn_lsh" -> ((s, dir) => { // rows-only: approximate path
       // persisted bucket-partitioned LSH index, built once per sf dir
       // (the scale path: queries read only probed bucket partitions)
@@ -854,6 +861,22 @@ object SparkEntry {
         | round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS score
         |FROM dots d CROSS JOIN qn
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_neardup" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+        |exd AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM ex),
+        |nrm AS (SELECT vec_id, sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS nn FROM exd GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  sum(CAST(floor(a.x * b.x * 1e9 + 0.5) AS BIGINT)) AS dot
+        | FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT d.a, d.b, round(d.dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6) AS cos
+        |FROM dots d JOIN nrm na ON na.vec_id = d.a JOIN nrm nb ON nb.vec_id = d.b
+        |WHERE round(d.dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id AS id,
+        |len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_est,
+        |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_char_est
+        |FROM documents ORDER BY id""".stripMargin,
     "q_hybrid" ->
       s"""${meiliCtes(Seq("spark", "merge"))},
          |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),

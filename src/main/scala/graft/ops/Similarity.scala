@@ -37,7 +37,7 @@ object Similarity {
       .withColumn("dot", dotFx(vecCol, "qvec"))
       .withColumn("nn", normFx(vecCol))
       .withColumn("score",
-        round(col("dot") / sqrt((col("nn") * col("qn")).cast("double")), 6))
+        round(col("dot") / sqrt(col("nn").cast("double") * col("qn").cast("double")), 6))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -83,6 +83,77 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** One hyperplane-LSH bucket as a self-contained Column (planes
+    * inlined as literals — no helper columns, so independent bands can
+    * coexist in one projection). */
+  private def bucketColInline(vecCol: String, nPlanes: Int, dim: Int,
+                              seed: Long): Column = {
+    (0 until nPlanes).map { p =>
+      val pl = Array.tabulate(dim) { d =>
+        val r = graft.corpus.CorpusGen.mix(seed ^ (p.toLong << 32) ^ d.toLong)
+        r.toDouble / Long.MaxValue
+      }
+      val arr = pl.map(v => s"${v}d").mkString(",")
+      val dot = expr(
+        s"""aggregate(zip_with($vecCol, array($arr), (x, w) ->
+           |  cast(x as double) * w), 0d, (a, v) -> a + v)""".stripMargin)
+      when(dot >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: (a, b, cos) with
+    * cos >= minCos, a < b — the semantic analogue of
+    * [[Dedup.jaccardPairs]]. Exact all-pairs: the CORRECTNESS BASELINE
+    * (O(N²) — the oracle setting at small SF; at corpus scale use
+    * [[cosineNearDupPairsLsh]]). */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).cast("long").as("a"),
+      col(vecCol).as("va"), normFx(vecCol).as("na"))
+    val b = emb.select(col(idCol).cast("long").as("b"),
+      col(vecCol).as("vb"), normFx(vecCol).as("nb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .withColumn("dot", dotFx("va", "vb"))
+      .withColumn("cos",
+        round(col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Scale path for near-dup pairs: candidates = id pairs sharing a
+    * hyperplane-LSH bucket in ANY of `bands` independent plane sets
+    * (random-hyperplane LSH, Charikar '02; a pair at angle θ collides
+    * in one band with prob (1 − θ/π)^nPlanes, and independent bands —
+    * not Hamming probes, which would square the pair count — recover
+    * the misses). Exact fixed-point cosine re-ranks candidates only,
+    * so precision is 1; recall is the banding probability (spec-
+    * measured). The candidate join is the same banded-bucket shuffle
+    * as [[Dedup.minhashLshPairs]] — never an all-pairs product. */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                            minCos: Double, bands: Int = 8, nPlanes: Int = 8,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val bandCols = (0 until bands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        bucketColInline(vecCol, nPlanes, dim, seed + 7919L * bnd).as("bh")))
+    val buckets = emb.select(col(idCol).cast("long").as("id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val cands = buckets.withColumnRenamed("id", "a")
+      .join(buckets.withColumnRenamed("id", "b"), Seq("band", "bh"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"), normFx(vecCol).as("nn"))
+    cands
+      .join(vecs.select(col("id").as("a"), col("v").as("va"), col("nn").as("na")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb"), col("nn").as("nb")), Seq("b"))
+      .withColumn("dot", dotFx("va", "vb"))
+      .withColumn("cos",
+        round(col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** Multi-probe top-k against a persisted LSH index: probes = every
     * bucket within Hamming distance `probeHamming` of the query's
     * bucket (sign flips on few hyperplanes are the likeliest misses,
@@ -107,7 +178,7 @@ object Similarity {
       .withColumn("qvec", array(qvec.map(v => lit(v)): _*))
       .withColumn("dot", dotFx("vec", "qvec"))
       .withColumn("score",
-        round(col("dot") / sqrt((col("nn") * lit(qn)).cast("double")), 6))
+        round(col("dot") / sqrt(col("nn").cast("double") * lit(qn.toDouble)), 6))
       .select(col("id").as("vec_id"), col("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)

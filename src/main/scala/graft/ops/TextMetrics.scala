@@ -65,4 +65,21 @@ object TextMetrics {
       .select(col("id"),
         md5(concat_ws(" ", array_sort(col("d")))).as("fp"),
         size(col("d")).as("n_distinct"))
+
+  /** GPT-2-style pre-tokenizer piece pattern (letters run / digits run /
+    * other-symbols run, each with an optional leading space) — shared
+    * verbatim with the DuckDB oracle (RE2 and java.util.regex agree on
+    * this subset). */
+  final val BpePiecePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token-count estimates for training-budget accounting: `n_bpe_est` =
+    * count of BPE-style pre-tokenizer pieces over the lowercased text
+    * (each piece splits into >=1 BPE tokens, so this is a stable lower-
+    * bound proxy), `n_char_est` = the chars/4 rule of thumb. Pure
+    * codegen'd expressions — one narrow scan, no UDFs. */
+  def tokenEstimate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.widen(df).select(col(idCol).as("id"),
+      size(expr(s"regexp_extract_all(lower($textCol), '$BpePiecePattern', 0)"))
+        .cast("long").as("n_bpe_est"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("n_char_est"))
 }

@@ -127,6 +127,49 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("cosine near-dup pairs: LSH banding recalls planted duplicates, never all-pairs") {
+    // planted near-dups: 20 base vectors, each with a slightly-perturbed
+    // twin (cosine ~0.99), plus 160 unrelated vectors
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(_ => vec())
+    val rows =
+      bases.zipWithIndex.flatMap { case (v, i) =>
+        val twin = v.zipWithIndex.map { case (x, d) =>
+          x + 0.05f * bases(i)((d + 1) % 64).abs * (if (d % 2 == 0) 1 else -1) }
+        Seq((2L * i, v.toSeq), (2L * i + 1, twin.toSeq))
+      } ++ (0 until 160).map(j => (1000L + j, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(exact.size >= 20, s"planted twins must be near-dups: ${exact.size}")
+    val lsh = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // precision 1 by construction (exact re-rank on candidates)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"banded recall = $recall")
+    // the banded candidate set must stay far below the all-pairs product
+    val nCands = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", -1.0)
+      .count()
+    val allPairs = rows.size.toLong * (rows.size - 1) / 2
+    assert(nCands < allPairs / 2, s"candidates $nCands vs all-pairs $allPairs")
+  }
+
+  test("tokenEstimate: BPE-piece and chars/4 estimates match a scala recompute") {
+    val got = TextMetrics.tokenEstimate(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val re = java.util.regex.Pattern.compile(TextMetrics.BpePiecePattern)
+    texts.foreach { case (id, t) =>
+      val m = re.matcher(t.toLowerCase)
+      var n = 0L
+      while (m.find()) n += 1
+      val chars = math.ceil(t.length / 4.0).toLong
+      assert(got(id) == ((n, chars)), s"doc $id: ${got(id)} vs ($n, $chars)")
+    }
+  }
+
   test("jaccard hot-shingle cap bounds the self-join blowup") {
     // adversarial duplicate-heavy corpus: 120 docs share one ubiquitous
     // trigram and are otherwise disjoint — uncapped, that one shingle
