@@ -43,6 +43,49 @@ object Events {
       .start()
   }
 
+  /** Streaming exact dedup: one row per content hash survives,
+    * duplicates are dropped in the state store. `dropDuplicates` keyed
+    * on the hash with an event-time watermark bounds state to the
+    * watermark horizon — the streaming form of
+    * [[graft.ops.Dedup.exactGroups]] for continuous ingestion (a
+    * 100-TB/day pipeline dedups the firehose before indexing; an
+    * unbounded key set without the watermark would OOM the state
+    * store). `dropDuplicatesWithinWatermark` is the bounded-state API:
+    * a plain dropDuplicates on the key alone would keep every key ever
+    * seen (the watermark only evicts when the event-time column is in
+    * the key). Dedup is guaranteed for duplicates arriving within the
+    * watermark delay of each other — the firehose contract. Parity with
+    * the batch form: the surviving KEY set is identical on a bounded
+    * replay; the representative row is first-arrival in the stream vs
+    * earliest-ts in `dedupBatch` (arrival order inside a micro-batch is
+    * not an event-time order — the spec asserts the key-set invariant,
+    * not row identity). */
+  def dedupBatch(df: DataFrame, tsCol: String, payloadCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(payloadCol)))
+      .orderBy(col(tsCol).asc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  def dedupStream(spark: SparkSession, dir: String, tsCol: String,
+                  payloadCol: String, outDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, "2 hours")
+      .withColumn("_h", md5(col(payloadCol)))
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Append-mode variant for unbounded streams: only watermark-finalized
     * windows emit, so state is bounded by the watermark horizon (2h of
     * open windows) instead of every key ever seen — the 100-TB/day

@@ -38,6 +38,33 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops duplicate payloads; surviving key set == batch dedup") {
+    import org.apache.spark.sql.functions._
+    // events with planted duplicate payloads (same event_type+value
+    // rendered as the payload string)
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("payload", concat_ws("|", $"event_type", round($"value", 1)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-d")
+    src.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
+    val q = Events.dedupStream(spark, streamDir.toString, "ts", "payload", outDir, cpDir)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir)
+    val batchKeys = Events.dedupBatch(spark.read.parquet(streamDir.toString), "ts", "payload")
+      .select($"payload").as[String].collect().toSet
+    val streamKeys = streamed.select($"payload").as[String].collect().toSeq
+    // one surviving row per payload, and exactly the batch key set
+    assert(streamKeys.size == streamKeys.distinct.size, "stream emitted a duplicate")
+    assert(streamKeys.toSet == batchKeys,
+      s"key sets differ: ${(streamKeys.toSet diff batchKeys).take(3)} / ${(batchKeys diff streamKeys.toSet).take(3)}")
+    // the dedup actually dropped rows (the corpus has duplicate payloads)
+    assert(streamKeys.size < src.count(), "no duplicates dropped")
+  }
+
   test("append-mode stream emits only finalized windows, each matching batch") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-a")
