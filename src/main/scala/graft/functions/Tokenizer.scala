@@ -61,12 +61,55 @@ object Tokenizer extends Serializable {
     sb.toString
   }
 
-  /** Split a raw word into subtokens on case/underscore/digit boundaries.
-    * `parseHTTPBuffer` -> parse|HTTP|Buffer, `a_b` -> a|b, `v2x` -> v|2|x.
-    * An upper-run followed by a lower char splits before its last char
-    * (HTTPServer -> HTTP|Server).
-    */
+  /** Han / Hiragana / Katakana codepoint — scripts written without word
+    * separators. */
+  @inline private def isCjk(cp: Int): Boolean = {
+    val s = Character.UnicodeScript.of(cp)
+    (s eq Character.UnicodeScript.HAN) ||
+      (s eq Character.UnicodeScript.HIRAGANA) ||
+      (s eq Character.UnicodeScript.KATAKANA)
+  }
+
+  /** Split a raw word into subtokens on case/underscore/digit boundaries;
+    * CJK (Han/kana) runs additionally split into one subtoken per
+    * codepoint. `parseHTTPBuffer` -> parse|HTTP|Buffer, `a_b` -> a|b,
+    * `v2x` -> v|2|x, `abc北京def` -> abc|北|京|def.
+    *
+    * Unigram CJK indexing (the Lucene CJKAnalyzer model, reduced to
+    * unigrams): the reference segments CJK via charabia's
+    * dictionary-backed segmenters; without dictionaries, per-codepoint
+    * tokens + the position machinery give equivalent RETRIEVAL
+    * semantics — a multi-char query becomes adjacent slots, so phrase
+    * matching and the proximity rule recover word-level matching. */
   def subtokens(word: String): Seq[String] = {
+    var i = 0
+    var hasCjk = false
+    while (i < word.length && !hasCjk) {
+      val cp = word.codePointAt(i)
+      if (isCjk(cp)) hasCjk = true
+      i += Character.charCount(cp)
+    }
+    if (!hasCjk) return subtokensSeparated(word)
+    // mixed or pure CJK: each CJK codepoint is its own subtoken; the
+    // non-CJK segments between them go through the boundary splitter
+    val out = new ArrayBuffer[String](word.length)
+    val seg = new java.lang.StringBuilder
+    i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isCjk(cp)) {
+        if (seg.length > 0) { out ++= subtokensSeparated(seg.toString); seg.setLength(0) }
+        out += word.substring(i, i + w)
+      } else seg.append(word, i, i + w)
+      i += w
+    }
+    if (seg.length > 0) out ++= subtokensSeparated(seg.toString)
+    out.toSeq
+  }
+
+  /** The case/underscore/digit boundary splitter (non-CJK words). */
+  private def subtokensSeparated(word: String): Seq[String] = {
     if (word.isEmpty) return Nil
     val out = new ArrayBuffer[String](4)
     val n = word.length

@@ -20,6 +20,27 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.subtokens("v2x") == Seq("v", "2", "x"))
   }
 
+  test("CJK runs split per codepoint; mixed words keep latin boundary rules") {
+    assert(Tokenizer.subtokens("北京") == Seq("北", "京"))
+    assert(Tokenizer.subtokens("abc北京def") == Seq("abc", "北", "京", "def"))
+    assert(Tokenizer.subtokens("ひらがなとカタカナ") ==
+      "ひらがなとカタカナ".map(_.toString))
+    // supplementary-plane Han (CJK ext-B) stays one token per codepoint
+    val extB = new String(Character.toChars(0x20000))
+    assert(Tokenizer.subtokens(extB + "水") == Seq(extB, "水"))
+    // hangul has word spacing — NOT per-char split
+    assert(Tokenizer.subtokens("한국어") == Seq("한국어"))
+    // positions: adjacent chars get consecutive positions, so phrase
+    // adjacency and the proximity rule see multi-char words
+    val toks = Tokenizer.tokenize("我爱北京天安门")
+    assert(toks.map(_.term) == Seq("我", "爱", "北", "京", "天", "安", "门"))
+    assert(toks.map(_.pos) == (0 to 6))
+    // offsets index the original text (highlighting)
+    val off = Tokenizer.tokenizeWithOffsets("spark 北京 merge")
+    assert(off.map(_.term) == Seq("spark", "北", "京", "merge"))
+    assert(off.map(t => (t.start, t.end)) == Seq((0, 5), (6, 7), (7, 8), (9, 14)))
+  }
+
   test("normalize lowercases and strips diacritics") {
     assert(Tokenizer.normalize("Café") == "cafe")
     assert(Tokenizer.normalize("ÜBER") == "uber")

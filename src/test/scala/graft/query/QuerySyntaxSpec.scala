@@ -198,4 +198,38 @@ class QuerySyntaxSpec extends AnyFunSuite {
     assert(got.forall(g => g._2 == 0 && g._3 == 0),
       "synonym phrase: zero typo cost, never exact")
   }
+
+  test("CJK: unigram index + adjacency gives word-level retrieval end to end") {
+    val zh = Seq(
+      (0L, "我爱北京天安门"),          // contains 北京 adjacently
+      (1L, "南京长江大桥"),            // has 京 but not 北京
+      (2L, "spark 北京 merge 数据"),  // mixed latin + CJK
+      (3L, "天安门广场"))
+    val dir = Files.createTempDirectory("qcjk").toString
+    val df = zh.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("zh"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true))
+    val e = new SearchEngine(spark, dir)
+    // a multi-char query phrase matches only adjacent occurrences
+    val beijing = e.phrase(Seq("北", "京")).collect().map(_.getInt(0)).toSet
+    assert(beijing == Set(0, 2), s"北京 adjacency: $beijing")
+    // bag-of-chars search still reaches every doc containing both chars
+    val any = e.searchDF("北京", 10, conjunctive = true)
+      .collect().map(_.getInt(0)).toSet
+    assert(any == Set(0, 2), s"conjunctive 北+京: $any")
+    // the rule cascade ranks the adjacent occurrence above the scattered
+    // one via the proximity rule
+    val zmr = new MeiliRank(e)
+    val ranked = zmr.search("天安门", 10).collect()
+    assert(ranked.head.getInt(0) == 0 || ranked.head.getInt(0) == 3)
+    val prox = ranked.map(r => r.getInt(0) -> r.getAs[Int]("proxCost")).toMap
+    assert(prox.values.forall(_ <= 2), s"adjacent chars, low prox: $prox")
+    // mixed-script query spans latin and CJK slots
+    val mixed = e.searchDF("spark 北京", 10, conjunctive = true)
+      .collect().map(_.getInt(0)).toSet
+    assert(mixed == Set(2), s"mixed-script conjunctive: $mixed")
+  }
 }
