@@ -54,7 +54,7 @@ class ScalePathSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("tdspec").toString
     IndexBuild.build(spark, CorpusGen.generate(spark, 300).as[graft.corpus.SourceFile],
       dir, IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
-        numPartitions = 4))
+        numPartitions = 4, positions = true))
     dir
   }
 
@@ -121,5 +121,17 @@ class ScalePathSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!pruned.contains("docBytes"),
       s"payload columns must prune out of a metadata projection:\n$pruned")
+  }
+
+  test("positions scan prunes bucket partitions and pushes the term predicate") {
+    val e = new SearchEngine(spark, dictIdx)
+    val plan = e.positionRows(Seq("return")).queryExecution.executedPlan.toString
+    // the positions table is bucket-partitioned like postings: phrase /
+    // proximity / cascade queries must read only the query terms'
+    // buckets with the term IN-list pushed to parquet
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"positions bucket partitions must prune:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"positions term predicate must push down:\n$plan")
   }
 }
