@@ -109,8 +109,14 @@ final class Index(val engine: SearchEngine,
   private def withFormatted(page: DataFrame, r: SearchRequest): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val terms = mr.analyze(r.q, r.lastWordIsPrefix)
-      .flatMap(s => s.derivations.map(_._1) ++ s.phraseDerivs.flatMap(_._1)).toSet
+    // bag-word derivations highlight anywhere; quoted phrases and
+    // phrase derivations (splits, multi-word synonyms) highlight only
+    // at adjacency sites (the reference matcher's phrase arm)
+    val slots = mr.analyze(r.q, r.lastWordIsPrefix)
+    val terms = slots.filterNot(_.noTypo).flatMap(_.derivations.map(_._1)).toSet
+    val phrases: Seq[Seq[String]] =
+      graft.query.QueryParser.parse(r.q).phrases ++
+        slots.flatMap(_.phraseDerivs.map(_._1))
     val rows = page.collect()
     val ids = rows.map(_.getAs[Int]("docId")).toSeq
     val contents =
@@ -125,13 +131,16 @@ final class Index(val engine: SearchEngine,
         val cropped = r.cropLength.fold(text)(n =>
           graft.search.Highlighter.crop(text, terms, n, r.cropMarker))
         extra += (if (r.highlight)
-          graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag)
+          graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag,
+            phrases = phrases)
         else cropped)
       }
       // `_matchesPosition` (reference show_matches_position: per-match
       // term + word position + char span over the stored field)
       if (r.showMatchesPosition)
-        extra += graft.search.Highlighter.matchPositions(text, terms)
+        extra += (graft.search.Highlighter.matchPositions(text, terms) ++
+          phrases.flatMap(p => graft.search.Highlighter.phrasePositions(text, p)))
+          .sortBy(_.start)
           .map(m => s"${m.term}@${m.pos}[${m.start},${m.end})").mkString(";")
       Row.fromSeq(row.toSeq ++ extra.result())
     }.toSeq

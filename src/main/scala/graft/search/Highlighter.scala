@@ -23,11 +23,31 @@ object Highlighter {
         MatchPosition(t.term, t.pos, t.start, t.end)
     }
 
-  /** Wrap every matched token with pre/post tags (`_formatted` field). */
+  /** Char spans where `phrase` occurs as CONSECUTIVE tokens (positions
+    * strictly +1 — the reference matcher highlights a quoted phrase
+    * only where it actually matches as a phrase, matches/mod.rs
+    * MatchingWords phrase arm; a lone member word elsewhere is NOT a
+    * match). One span per occurrence, first-token start to last-token
+    * end. */
+  def phrasePositions(text: String, phrase: Seq[String]): Seq[MatchPosition] = {
+    if (phrase.isEmpty) return Nil
+    val toks = Tokenizer.tokenizeWithOffsets(text)
+    (0 to toks.size - phrase.size).collect {
+      case i if phrase.indices.forall(j =>
+        toks(i + j).term == phrase(j) && toks(i + j).pos == toks(i).pos + j) =>
+        MatchPosition(phrase.mkString(" "), toks(i).pos,
+          toks(i).start, toks(i + phrase.size - 1).end)
+    }
+  }
+
+  /** Wrap every matched token with pre/post tags (`_formatted` field);
+    * `phrases` are matched at adjacency sites only. */
   def highlight(text: String, terms: Set[String],
                 pre: String = "<em>", post: String = "</em>",
-                prefixTerms: Set[String] = Set.empty): String = {
-    val ms = matchPositions(text, terms, prefixTerms)
+                prefixTerms: Set[String] = Set.empty,
+                phrases: Seq[Seq[String]] = Nil): String = {
+    val ms = matchPositions(text, terms, prefixTerms) ++
+      phrases.flatMap(p => phrasePositions(text, p))
     if (ms.isEmpty) return text
     val sb = new java.lang.StringBuilder(text.length + ms.size * (pre.length + post.length))
     var cur = 0

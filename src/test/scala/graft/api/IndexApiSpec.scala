@@ -118,6 +118,20 @@ class IndexApiSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("quoted phrases highlight only at adjacency sites") {
+    val rows = idx.search(SearchRequest(q = "\"spark merge\"", highlight = true)).collect()
+    val byId = rows.map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    // doc 1: title 'merge tool', body 'spark merge runs...' — the
+    // adjacent pair is wrapped as ONE span, the lone 'merge' is not
+    assert(byId(1).contains("<em>spark merge</em>"), s"${byId(1)}")
+    assert(byId(1).startsWith("merge tool"), s"lone word must stay bare: ${byId(1)}")
+    // a hard separator breaks adjacency: no phrase match across it
+    import graft.search.Highlighter
+    assert(Highlighter.phrasePositions("spark. merge", Seq("spark", "merge")).isEmpty)
+    assert(Highlighter.phrasePositions("big spark merge day", Seq("spark", "merge"))
+      .map(m => (m.start, m.end)) == Seq((4, 15)))
+  }
+
   test("totalHits counts the filtered universe exhaustively") {
     assert(idx.totalHits(SearchRequest(q = "spark merge",
       filter = Some("lang = en"))) == 4)
