@@ -147,10 +147,15 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   }
 
   /** Decode blocks into (docId, term, tf) rows (narrow flatMap);
-    * tombstoned docids are dropped during decode. */
-  def decoded(terms: Seq[QueryTerm]): Dataset[Posting] = {
+    * tombstoned docids are dropped during decode. `shardCap` bounds the
+    * decode to the first N docid shards (degraded-search work budget) —
+    * the predicate is pushed to the parquet block scan, so capped
+    * shards are never read, let alone decoded. */
+  def decoded(terms: Seq[QueryTerm], shardCap: Option[Int] = None): Dataset[Posting] = {
     val del = deletedSet
-    blocksFor(terms).select($"term", $"docBytes", $"tfBytes")
+    val blocks = shardCap.fold(blocksFor(terms))(c =>
+      blocksFor(terms).filter($"shard" < c))
+    blocks.select($"term", $"docBytes", $"tfBytes")
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (term, db, tb) =>
         val ids = VByte.decodeDeltas(db); val tfs = VByte.decode(tb)
@@ -165,12 +170,13 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * restricts the universe (filter-before-rank, reference
     * search/new/mod.rs:590-601). */
   def searchDF(q: String, k: Int, conjunctive: Boolean = true,
-               candidates: Option[DataFrame] = None): DataFrame = {
+               candidates: Option[DataFrame] = None,
+               shardCap: Option[Int] = None): DataFrame = {
     val pq = graft.query.QueryParser.parse(q)
     val terms = termsOf(pq.positiveTerms)
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
     val idfDf = terms.map(t => (t.term, t.idf)).toDF("term", "idf")
-    val base = decoded(terms).toDF()
+    val base = decoded(terms, shardCap).toDF()
     val afterCand = candidates match {
       case Some(c) => base.join(broadcast(c.select($"docId")), Seq("docId"), "left_semi")
       case None => base
@@ -206,6 +212,28 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     val filtered = if (conjunctive) agg.filter($"nMatched" === terms.size) else agg
     filtered.select($"docId", $"score")
       .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Work-budget degraded search (reference T4 searchCutoffMs,
+    * meilisearch search cutoff: return the best buckets found when the
+    * time budget expires and flag the response `degraded`). A wall-
+    * clock cutoff is nondeterministic in a distributed batch engine, so
+    * the budget is re-expressed as WORK: decode only the first
+    * `maxShards` docid shards of each term's postings — a docid-order
+    * prefix of the corpus, the same order the reference's bucket
+    * iteration visits candidates — and rank that subset with the
+    * index-global statistics (idf/avgdl unchanged, exactly like the
+    * reference, whose cutoff does not re-estimate statistics).
+    * The shard predicate is pushed to the parquet scan: bounded shards
+    * = bounded bytes read = bounded time, deterministically.
+    * Returns (hits, degraded): degraded=false means the budget covered
+    * every shard and the result IS the exact searchDF result. */
+  def searchDegraded(q: String, k: Int, maxShards: Int,
+                     conjunctive: Boolean = true): (DataFrame, Boolean) = {
+    val totalShards = ((nDocs + docsPerShard - 1) / docsPerShard).toInt
+    val degraded = maxShards < totalShards
+    val cap = if (degraded) Some(maxShards) else None
+    (searchDF(q, k, conjunctive, shardCap = cap), degraded)
   }
 
   /** Cost-routed search (the recommended entry point): plain queries

@@ -123,6 +123,28 @@ class ScalePathSpec extends AnyFunSuite {
       s"payload columns must prune out of a metadata projection:\n$pruned")
   }
 
+  test("degraded search bounds work to a docid-shard prefix and flags the result") {
+    val e = new SearchEngine(spark, dictIdx)
+    val exact = e.searchDF("return", 1000).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // budget covers every shard -> not degraded, result is exact
+    val (full, d0) = e.searchDegraded("return", 1000, maxShards = 1000)
+    assert(!d0)
+    assert(full.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap == exact)
+    // capped budget: exactly the matches of the first two shards
+    // (docsPerShard=64), scored with unchanged index-global statistics
+    val (part, d1) = e.searchDegraded("return", 1000, maxShards = 2)
+    assert(d1)
+    val got = part.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got.keySet.forall(_ < 128), s"${got.keySet}")
+    assert(got == exact.filter { case (id, _) => id < 128 })
+    // the shard bound reaches the parquet block scan as a pushed filter
+    val plan = e.decoded(e.termsOf(Seq("return")), Some(2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("shard"),
+      s"shard cap must push down:\n$plan")
+  }
+
   test("positions scan prunes bucket partitions and pushes the term predicate") {
     val e = new SearchEngine(spark, dictIdx)
     val plan = e.positionRows(Seq("return")).queryExecution.executedPlan.toString
