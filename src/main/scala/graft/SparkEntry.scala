@@ -30,6 +30,10 @@ object SparkEntry {
     e.searchHits("batch stream", 10)
   }
 
+  /** /tmp side-index tag for a testdata dir (shared by every query
+    * that builds its own index). */
+  private def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embDf(s: SparkSession, dir: String): DataFrame =
@@ -173,7 +177,7 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => { // rows-only: approximate path
       // persisted bucket-partitioned LSH index, built once per sf dir
       // (the scale path: queries read only probed bucket partitions)
-      val idxDir = s"/tmp/graft-lshidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val idxDir = s"/tmp/graft-lshidx-v1/${dirTag(dir)}"
       if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
         Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
           idxDir, nPlanes = 4)
@@ -268,7 +272,7 @@ object SparkEntry {
     }),
     // ---- deletion: tombstoned docs excluded, Lucene stats (U1 del) ------
     "q_delete" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-delidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val idxDir = s"/tmp/graft-delidx-v1/${dirTag(dir)}"
       val first200 = docsDf(s, dir).orderBy(col("doc_id")).limit(200)
       // lineage-committed: repeated calls resume/no-op
       graft.index.IndexBuild.buildFromTable(s, first200,
@@ -298,7 +302,7 @@ object SparkEntry {
     // ---- stop words as an index setting (X3): dropped from dict/
     // postings/positions; surrounding positions and doc len preserved ----
     "q_stopword" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-stopidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val idxDir = s"/tmp/graft-stopidx-v1/${dirTag(dir)}"
       val sub = docsDf(s, dir).filter(col("doc_id") < 300)
       graft.index.IndexBuild.buildFromTable(s, sub,
         docIdCol = "doc_id", contentCol = "text", langCol = "lang",
@@ -311,7 +315,7 @@ object SparkEntry {
     }),
     // ---- multi-field index + fid ranking rule (R4 fid sub-rule) ---------
     "q_multifield" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-mfidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val idxDir = s"/tmp/graft-mfidx-v1/${dirTag(dir)}"
       // synthetic title field: every 7th doc gets 'spark boost' in its
       // title (weight 0 = most important), so the fid rule reorders
       // body-only matches below title matches; mirrored in the oracle.
@@ -331,7 +335,7 @@ object SparkEntry {
     }),
     // ---- federated multi-index search (weighted score merge) -----------
     "q_federation" -> ((s, dir) => {
-      val base = s"/tmp/graft-fedidx-v1/${dir.replaceAll("[^a-zA-Z0-9.]+", "_")}"
+      val base = s"/tmp/graft-fedidx-v1/${dirTag(dir)}"
       val cfg = graft.index.IndexConfig(docsPerShard = 256, termBuckets = 4,
         blockSize = 128, numPartitions = 8)
       val d = docsDf(s, dir)
@@ -910,7 +914,13 @@ object SparkEntry {
       synonyms = Map("lookup" -> Seq(Seq("query")), "ts" -> Seq(Seq("table", "scan")))),
     "q_split" -> meiliOracleSql(Seq("sparkmerge", "batch"), 50,
       // 'sparkmerge' has exactly one in-vocabulary split (spark|merge),
-      // so the engine's frequency-based splitBest choice is static here
+      // so the engine's frequency-based splitBest choice is static here.
+      // INVARIANT this static oracle leans on: the engine only adds the
+      // split when the slot has NO other derivations (MeiliRank:
+      // `if (derivs.isEmpty) splitBest`), and no corpus vocabulary term
+      // is within effective typo distance 2 of 'sparkmerge' (longest
+      // vocab word is 8 chars) — if the generator's vocabulary ever
+      // grows such a term, this oracle and the engine would diverge
       splits = Map(0 -> Seq("spark", "merge"))),
     "q_meili_prefix" -> meiliOracleSql(Seq("spark", "win"), 50, prefixLast = true),
     "q_stopword" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = StopTok),

@@ -95,8 +95,8 @@ final class Index(val engine: SearchEngine,
     // attributesToRetrieve (reference displayed/retrieved attributes):
     // project to docId + the requested fields + any _-meta columns
     r.attributesToRetrieve.fold(formatted) { names =>
-      val keep = ("docId" +: names).distinct ++
-        formatted.columns.filter(_.startsWith("_"))
+      val keep = (("docId" +: names) ++
+        formatted.columns.filter(_.startsWith("_"))).distinct
       formatted.select(keep.map(col): _*)
     }
   }
@@ -117,6 +117,10 @@ final class Index(val engine: SearchEngine,
     val phrases: Seq[Seq[String]] =
       graft.query.QueryParser.parse(r.q).phrases ++
         slots.flatMap(_.phraseDerivs.map(_._1))
+    // crop windows over bag words AND phrase member words — a pure
+    // quoted-phrase query must still center its crop on the match site
+    // (only the highlight pass is phrase-adjacency-strict)
+    val cropTerms = terms ++ phrases.flatten
     val rows = page.collect()
     val ids = rows.map(_.getAs[Int]("docId")).toSeq
     val contents =
@@ -129,7 +133,7 @@ final class Index(val engine: SearchEngine,
       val extra = Seq.newBuilder[Any]
       if (wantFmt) {
         val cropped = r.cropLength.fold(text)(n =>
-          graft.search.Highlighter.crop(text, terms, n, r.cropMarker))
+          graft.search.Highlighter.crop(text, cropTerms, n, r.cropMarker))
         extra += (if (r.highlight)
           graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag,
             phrases = phrases)

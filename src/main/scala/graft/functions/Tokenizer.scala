@@ -62,13 +62,17 @@ object Tokenizer extends Serializable {
   }
 
   /** Han / Hiragana / Katakana codepoint — scripts written without word
-    * separators. */
-  @inline private def isCjk(cp: Int): Boolean = {
-    val s = Character.UnicodeScript.of(cp)
-    (s eq Character.UnicodeScript.HAN) ||
-      (s eq Character.UnicodeScript.HIRAGANA) ||
-      (s eq Character.UnicodeScript.KATAKANA)
-  }
+    * separators. Fast path: every Han/kana codepoint is ≥ U+2E80 (CJK
+    * Radicals Supplement), so ASCII/Latin words — the entire hot
+    * indexing path for code corpora — skip the UnicodeScript binary
+    * search with one integer compare. */
+  @inline private def isCjk(cp: Int): Boolean =
+    cp >= 0x2E80 && {
+      val s = Character.UnicodeScript.of(cp)
+      (s eq Character.UnicodeScript.HAN) ||
+        (s eq Character.UnicodeScript.HIRAGANA) ||
+        (s eq Character.UnicodeScript.KATAKANA)
+    }
 
   /** Split a raw word into subtokens on case/underscore/digit boundaries;
     * CJK (Han/kana) runs additionally split into one subtoken per

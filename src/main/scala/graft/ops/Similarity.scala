@@ -70,16 +70,21 @@ object Similarity {
     * query. Meta row pins (nPlanes, dim, seed). */
   def buildLshIndex(spark: SparkSession, emb: DataFrame, idCol: String,
                     vecCol: String, dir: String,
-                    nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): Unit = {
+                    nPlanes: Int = 4, dim: Int = 0, seed: Long = 42L): Unit = {
     import spark.implicits._
-    val (planesCol, bucketCol) = bucketExpr(vecCol, nPlanes, dim, seed)
+    // dim=0: infer from the data (see cosineNearDupPairsLsh — a plane/
+    // vector length mismatch nulls every plane dot and collapses all
+    // buckets to 0)
+    val d = if (dim > 0) dim
+            else emb.select(size(col(vecCol))).head().getInt(0)
+    val (planesCol, bucketCol) = bucketExpr(vecCol, nPlanes, d, seed)
     emb.withColumn("planes_arr", planesCol)
       .withColumn("planes_idx", expr(s"sequence(0, ${nPlanes - 1})"))
       .withColumn("bucket", bucketCol)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         normFx(vecCol).as("nn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/rows")
-    Seq((nPlanes, dim, seed)).toDF("nPlanes", "dim", "seed")
+    Seq((nPlanes, d, seed)).toDF("nPlanes", "dim", "seed")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -131,10 +136,16 @@ object Similarity {
     * as [[Dedup.minhashLshPairs]] — never an all-pairs product. */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                             minCos: Double, bands: Int = 8, nPlanes: Int = 8,
-                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+                            dim: Int = 0, seed: Long = 42L): DataFrame = {
+    // dim MUST match the embedding length: zip_with against a shorter/
+    // longer plane yields null dots -> every vector lands in bucket 0
+    // -> the candidate join silently degenerates to all-pairs. Infer
+    // from the data by default (one 1-row job).
+    val d = if (dim > 0) dim
+            else emb.select(size(col(vecCol))).head().getInt(0)
     val bandCols = (0 until bands).map(bnd =>
       struct(lit(bnd).as("band"),
-        bucketColInline(vecCol, nPlanes, dim, seed + 7919L * bnd).as("bh")))
+        bucketColInline(vecCol, nPlanes, d, seed + 7919L * bnd).as("bh")))
     val buckets = emb.select(col(idCol).cast("long").as("id"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))

@@ -130,6 +130,13 @@ class IndexApiSpec extends AnyFunSuite {
     assert(Highlighter.phrasePositions("spark. merge", Seq("spark", "merge")).isEmpty)
     assert(Highlighter.phrasePositions("big spark merge day", Seq("spark", "merge"))
       .map(m => (m.start, m.end)) == Seq((4, 15)))
+    // crop must still center on the phrase site for a pure-phrase query
+    // (regression: phrase words were dropped from the crop term set)
+    val cropped = idx.search(SearchRequest(q = "\"spark merge\"",
+      highlight = true, cropLength = Some(3))).collect()
+      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    assert(cropped(3).contains("<em>spark merge</em>"),
+      s"crop centered off the match: ${cropped(3)}")
   }
 
   test("totalHits counts the filtered universe exhaustively") {

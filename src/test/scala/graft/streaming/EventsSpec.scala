@@ -51,7 +51,7 @@ class EventsSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
     val cpDir = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
     val q = Events.dedupStream(spark, streamDir.toString, "ts", "payload", outDir, cpDir)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "dedup stream did not finish in time")
 
     val streamed = spark.read.parquet(outDir)
     val batchKeys = Events.dedupBatch(spark.read.parquet(streamDir.toString), "ts", "payload")
