@@ -27,6 +27,9 @@ object DocIndex {
         sourceCol = "source", indexDir = dir,
         cfg = IndexConfig(docsPerShard = 512, termBuckets = 4,
           blockSize = 128, numPartitions = 8, positions = true))
+      // facet value indexes (U4): lineage-committed, so adding a column
+      // here upgrades cached indexes in place on next use
+      IndexBuild.buildFacetIndex(spark, dir, Seq("len", "lang"))
       new SearchEngine(spark, dir)
     })
 }

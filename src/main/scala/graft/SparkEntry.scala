@@ -96,6 +96,12 @@ object SparkEntry {
     "q_facet_stats" -> ((s, dir) =>
       DocIndex.engine(s, dir)
         .facetStats("batch", length(col("content")), "nchars")),
+    // ---- persisted facet index: range distribution (U4) -----------------
+    "q_facet_range" -> ((s, dir) =>
+      DocIndex.engine(s, dir)
+        .facetIndex("len", col("value").between(40, 80))
+        .select(col("value").cast("long").as("value"), col("n"))
+        .orderBy(col("value"))),
     "q_sort" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
       e.docs.join(broadcast(e.candidates("window")), Seq("docId"), "left_semi")
@@ -737,6 +743,9 @@ object SparkEntry {
       s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch')
          |SELECT min(length(d.text)) AS min_nchars, max(length(d.text)) AS max_nchars,
          |count(*) AS n FROM documents d JOIN cand USING(doc_id)""".stripMargin,
+    "q_facet_range" ->
+      s"""$TOK SELECT len AS value, count(*) AS n FROM dl
+         |WHERE len BETWEEN 40 AND 80 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sort" ->
       s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'window')
          |SELECT d.doc_id AS doc_id, length(d.text) AS n_chars_m FROM documents d

@@ -365,6 +365,34 @@ object IndexBuild {
     }
   }
 
+  /** Persisted per-column facet value index (reference U4, the facet
+    * LEVEL TREE `facet/facet_*.rs`: level-0 leaves are (value → docid
+    * bitmap), upper levels aggregate value RANGES so a range query
+    * touches O(log) groups). Columnar re-expression: one tiny
+    * (value, n, docidMin, docidMax) row per distinct facet value,
+    * range-partitioned and sorted BY VALUE — a range predicate prunes
+    * parquet row groups via min/max stats, so range counts and
+    * distributions read O(matching values) rows and never touch the
+    * doc store. The upper tree levels are exactly what parquet row-
+    * group statistics provide for free over a value-sorted file.
+    * Lineage-committed; safe to (re)run on an existing index. */
+  def buildFacetIndex(spark: SparkSession, indexDir: String,
+                      cols: Seq[String], numPartitions: Int = 4): Unit = {
+    import spark.implicits._
+    val docsDf = spark.read.parquet(s"$indexDir/docs")
+    cols.foreach { c =>
+      Lineage.stage(spark, indexDir, s"facet_$c") {
+        docsDf.groupBy(col(c).as("value"))
+          .agg(count(lit(1)).as("n"),
+            min($"docId").as("docidMin"), max($"docId").as("docidMax"))
+          .repartitionByRange(numPartitions, $"value")
+          .sortWithinPartitions($"value")
+          .write.mode("overwrite").parquet(s"$indexDir/facets/$c")
+        Nil
+      }
+    }
+  }
+
   /** Rewrite the index without tombstoned documents: rebuild through
     * the standard pipeline from the live doc store (bounded tombstone
     * model: delete() is O(batch), compact() is the amortized rewrite —

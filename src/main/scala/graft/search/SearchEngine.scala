@@ -473,6 +473,28 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     (top, totalHits(q, conjunctive, filter))
   }
 
+  /** Value rows of a persisted facet index (IndexBuild.buildFacetIndex):
+    * (value, n, docidMin, docidMax) sorted by value. The `where`
+    * predicate (over `value`) is pushed into the value-sorted parquet,
+    * so a range reads O(matching values) rows — the reference's facet
+    * level tree walk (facet/facet_range_search.rs) re-expressed as
+    * row-group pruning. Throws if the column has no facet index. */
+  def facetIndex(colName: String, where: Column = lit(true)): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/facets/$colName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no facet index for '$colName' — run IndexBuild.buildFacetIndex first")
+    spark.read.parquet(s"$indexDir/facets/$colName").filter(where)
+  }
+
+  /** Exhaustive count of docs whose facet value satisfies `where`,
+    * answered from the facet index alone (never scans the doc store —
+    * counts follow the build-time snapshot, i.e. Lucene tombstone
+    * semantics like every other statistic). */
+  def facetRangeCount(colName: String, where: Column): Long =
+    facetIndex(colName, where)
+      .agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+
   /** Facet-value search (reference SearchForFacetValues,
     * search/facet/search.rs:21-73): facet values of the query's
     * candidates whose normalized value starts with `facetQuery`, with

@@ -2,6 +2,7 @@ package graft.search
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 import graft.SparkTestBase
 import graft.corpus.CorpusGen
@@ -121,6 +122,22 @@ class ScalePathSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!pruned.contains("docBytes"),
       s"payload columns must prune out of a metadata projection:\n$pruned")
+  }
+
+  test("facet index answers range counts without scanning the doc store") {
+    IndexBuild.buildFacetIndex(spark, dictIdx, Seq("len", "lang"))
+    val e = new SearchEngine(spark, dictIdx)
+    val direct = e.docs.filter($"len".between(20, 60)).count()
+    assert(direct > 0)
+    assert(e.facetRangeCount("len", col("value").between(20, 60)) == direct)
+    assert(e.facetRangeCount("lang", col("value") === "scala") ==
+      e.docs.filter($"lang" === "scala").count())
+    // the value predicate reaches the value-sorted facet parquet
+    val plan = e.facetIndex("len", col("value").between(20, 60))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("value"),
+      s"facet value predicate must push down:\n$plan")
+    intercept[IllegalArgumentException](e.facetIndex("nope"))
   }
 
   test("degraded search bounds work to a docid-shard prefix and flags the result") {
