@@ -391,10 +391,13 @@ object SparkEntry {
         .toDF().select(col("assetId").as("asset_id"), col("kind"),
           col("byteLen").cast("long").as("byte_len"), col("sha"))
         .orderBy(col("asset_id"))),
-    "q_mm_frames" -> ((s, dir) => { // rows-only
+    "q_mm_frames" -> ((s, dir) => {
       val f = Multimodal.extractFeatures(s,
         Multimodal.assetsFromText(docsDf(s, dir), "doc_id", "text"))
       Multimodal.sampleFrames(s, f, 4)
+        .select(col("assetId").as("asset_id"),
+          col("frameIdx").cast("long").as("frame_idx"))
+        .orderBy(col("asset_id"), col("frame_idx"))
     })
   )
 
@@ -1027,6 +1030,14 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |octet_length(CAST(text AS BLOB)) AS byte_len, sha256(text) AS sha
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // FakeDecoder frameCount = 1 + sha256_byte[2] % 32 (deterministic
+    // stand-in) — the sampling plan itself is what this gates
+    "q_mm_frames" ->
+      """WITH v AS (SELECT doc_id,
+        |  1 + (('0x' || substr(sha256(text), 5, 2))::BIGINT % 32) AS fc
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS asset_id, unnest(range(0, fc, 4)) AS frame_idx
+        |FROM v ORDER BY asset_id, frame_idx""".stripMargin
   )
 }
