@@ -378,6 +378,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
     }),
+    // ---- work-budget degraded search (T4) -------------------------------
+    "q_degraded" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      // 4 shards of 512 docs: degraded at sf>=0.01 (N=5000), exact at
+      // sf0.001 (N=500 fits one shard); the oracle mirrors both via the
+      // same doc_id < 2048 prefix + a count-derived flag
+      val (df, deg) = e.searchDegraded("batch stream", 1000000, maxShards = 4)
+      df.select(col("docId").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"), lit(deg).as("degraded"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     // ---- streaming-shaped aggregation ----------------------------------
     "q_events_hourly" -> ((s, dir) =>
       Events.hourlyCounts(eventsDf(s, dir))
@@ -1022,6 +1034,16 @@ object SparkEntry {
         |SELECT doc_id, round(s, 6) AS score FROM agg
         |WHERE doc_id % 7 <> 0
         |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // degraded search: the docid-shard prefix (4 shards x 512 docs) with
+    // UNCHANGED index-global statistics (idf/avgdl over the full corpus)
+    "q_degraded" ->
+      s"""$TOK,
+         |${bmCte(Seq("batch", "stream"))},
+         |agg AS (SELECT doc_id, sum(ts) AS s FROM bm GROUP BY doc_id HAVING count(*) = 2)
+         |SELECT agg.doc_id AS doc_id, round(agg.s, 6) AS score,
+         |  (SELECT count(*) FROM documents) > 2048 AS degraded
+         |FROM agg WHERE agg.doc_id < 2048
+         |ORDER BY round(agg.s, 6) DESC, agg.doc_id ASC LIMIT 20""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 6) AS sum_value
