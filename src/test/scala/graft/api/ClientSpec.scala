@@ -1,0 +1,54 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.index.{IndexBuild, IndexConfig}
+
+/** Multi-index management: create-by-build, list, stats, swap, delete. */
+class ClientSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def buildInto(c: Client, uid: String, rows: Seq[(Long, String)]): Unit = {
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      c.indexDir(uid), IndexConfig(docsPerShard = 4, termBuckets = 2,
+        blockSize = 4, numPartitions = 2, positions = true))
+  }
+
+  test("build-by-uid, list, stats, swap, delete") {
+    val root = Files.createTempDirectory("graft-client").toString
+    val c = new Client(spark, root)
+    assert(c.listIndexes().isEmpty && !c.indexExists("movies"))
+
+    buildInto(c, "movies", Seq((0L, "alpha beta"), (1L, "beta gamma")))
+    buildInto(c, "movies_new", Seq((0L, "delta epsilon")))
+    assert(c.listIndexes() == Seq("movies", "movies_new"))
+    assert(c.stats("movies").numberOfDocuments == 2)
+    assert(c.stats("movies_new").numberOfDocuments == 1)
+    assert(c.stats("movies").fieldDistribution("lang") == 2)
+
+    // search through the client facade
+    val hits = c.index("movies").search(SearchRequest(q = "beta"))
+      .collect().map(_.getInt(0)).toSet
+    assert(hits == Set(0, 1))
+
+    // swap: readers opening 'movies' now see the new build
+    c.swapIndexes("movies", "movies_new")
+    assert(c.stats("movies").numberOfDocuments == 1)
+    val swapped = c.index("movies").search(SearchRequest(q = "delta"))
+      .collect().map(_.getInt(0)).toSet
+    assert(swapped == Set(0))
+    assert(c.stats("movies_new").numberOfDocuments == 2)
+
+    c.deleteIndex("movies_new")
+    assert(c.listIndexes() == Seq("movies"))
+    intercept[IllegalArgumentException](c.index("movies_new"))
+    intercept[IllegalArgumentException](c.swapIndexes("movies", "movies_new"))
+    intercept[IllegalArgumentException](c.index("../escape"))
+  }
+}
