@@ -7,19 +7,20 @@ import graft.rank.TypoSettings
 import graft.search.SearchEngine
 
 /** Index-level statistics (reference GET /indexes/{uid}/stats:
-  * numberOfDocuments, isIndexing, fieldDistribution). `isIndexing` maps
-  * to "the lineage has uncommitted stages": every committed stage
-  * leaves a `_COMMITTED` marker, so a directory with a `docs` dir but
-  * no committed `stats` stage is mid-build (or crashed — either way,
-  * not ready to serve). */
+  * numberOfDocuments, isIndexing, fieldDistribution). `isIndexing` =
+  * the lineage lacks the committed `stats` stage — the LAST stage of
+  * every build path — so a mid-build (or crashed) index reports
+  * indexing=true rather than serving partial data. */
 final case class IndexStats(numberOfDocuments: Long,
-                            fieldDistribution: Map[String, Long])
+                            fieldDistribution: Map[String, Long],
+                            isIndexing: Boolean)
 
 /** Multi-index client (reference index CRUD + POST /swap-indexes,
   * meilisearch/src/routes/indexes/ + swap_indexes.rs): named indexes as
-  * directories under one root. Swap is the reference's atomic-rename
-  * trick — production deploys build `products_new` offline and swap it
-  * with `products` so readers never see a half-built index. */
+  * directories under one root. The deploy pattern: build `products_new`
+  * offline, then [[swapIndexes]] it with `products` — readers by uid
+  * never observe a partially BUILT index (the swap is rename-based; see
+  * its scaladoc for the brief-absence window it does have). */
 final class Client(spark: SparkSession, rootDir: String) {
   private val root = new Path(rootDir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -42,20 +43,41 @@ final class Client(spark: SparkSession, rootDir: String) {
     new Index(new SearchEngine(spark, indexDir(uid)), synonyms, typo)
   }
 
-  /** All index uids under the root, sorted. */
+  /** All valid index uids under the root, sorted. `.swap-*` recovery
+    * dirs and other non-uid names are excluded (they would crash every
+    * uid-validated accessor); see [[danglingSwaps]]. */
   def listIndexes(): Seq[String] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).sorted.toSeq
+      .map(_.getPath.getName).filter(_.matches("[A-Za-z0-9_-]+")).sorted.toSeq
+
+  /** Leftover `.swap-*` dirs from a crashed [[swapIndexes]] — manual
+    * recovery targets. */
+  def danglingSwaps(): Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(".swap-")).sorted.toSeq
+
+  /** True while the index's build has not committed its final (stats)
+    * lineage stage. */
+  def isIndexing(uid: String): Boolean =
+    !graft.index.Lineage.isCommitted(spark, indexDir(uid), "stats")
 
   def stats(uid: String): IndexStats = {
+    require(indexExists(uid), s"index '$uid' does not exist")
     val e = new SearchEngine(spark, indexDir(uid))
-    IndexStats(e.nDocs, e.fieldDistribution())
+    IndexStats(e.nDocs, e.fieldDistribution(), isIndexing(uid))
   }
 
-  /** Atomically exchange two indexes (reference swap_indexes: both must
-    * exist; readers opening by uid after the swap see the other data). */
+  /** Exchange two indexes via three directory renames (reference
+    * swap_indexes — there it runs as a queued task with the same
+    * exposure): NOT one atomic op — there is a brief window where `a`
+    * does not exist, and a crash mid-swap leaves a `.swap-*` recovery
+    * dir (surfaced by [[danglingSwaps]], excluded from
+    * [[listIndexes]]). Self-swap is rejected (it would strand the only
+    * copy in the recovery dir). */
   def swapIndexes(a: String, b: String): Unit = {
+    require(a != b, s"cannot swap '$a' with itself")
     val (pa, pb) = (dirOf(a), dirOf(b))
     require(fs.exists(pa) && fs.exists(pb),
       s"swap requires both indexes to exist: '$a', '$b'")

@@ -375,21 +375,32 @@ object IndexBuild {
     * distributions read O(matching values) rows and never touch the
     * doc store. The upper tree levels are exactly what parquet row-
     * group statistics provide for free over a value-sorted file.
-    * Lineage-committed; safe to (re)run on an existing index. */
+    * A STATISTICS TABLE over the LIVE documents at build time: every
+    * invocation rebuilds it (idempotent overwrite — one tiny
+    * aggregation), so call it again after append/delete batches;
+    * tombstoned docs are excluded, so facet counts agree with
+    * `SearchEngine.docs` exactly (N/avgdl keep Lucene tombstone
+    * semantics until compact; facet counts do not need to, and the
+    * skip-if-committed lineage pattern would silently freeze them at
+    * their first build). */
   def buildFacetIndex(spark: SparkSession, indexDir: String,
                       cols: Seq[String], numPartitions: Int = 4): Unit = {
     import spark.implicits._
     val docsDf = spark.read.parquet(s"$indexDir/docs")
+    val delP = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
+    val dfs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (dfs.exists(delP))
+        docsDf.join(broadcast(spark.read.parquet(s"$indexDir/deleted")
+          .select($"docId")), Seq("docId"), "left_anti")
+      else docsDf
     cols.foreach { c =>
-      Lineage.stage(spark, indexDir, s"facet_$c") {
-        docsDf.groupBy(col(c).as("value"))
-          .agg(count(lit(1)).as("n"),
-            min($"docId").as("docidMin"), max($"docId").as("docidMax"))
-          .repartitionByRange(numPartitions, $"value")
-          .sortWithinPartitions($"value")
-          .write.mode("overwrite").parquet(s"$indexDir/facets/$c")
-        Nil
-      }
+      live.groupBy(col(c).as("value"))
+        .agg(count(lit(1)).as("n"),
+          min($"docId").as("docidMin"), max($"docId").as("docidMax"))
+        .repartitionByRange(numPartitions, $"value")
+        .sortWithinPartitions($"value")
+        .write.mode("overwrite").parquet(s"$indexDir/facets/$c")
     }
   }
 

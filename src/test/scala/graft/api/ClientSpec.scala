@@ -48,7 +48,12 @@ class ClientSpec extends AnyFunSuite {
     c.deleteIndex("movies_new")
     assert(c.listIndexes() == Seq("movies"))
     intercept[IllegalArgumentException](c.index("movies_new"))
+    intercept[IllegalArgumentException](c.stats("movies_new"))
     intercept[IllegalArgumentException](c.swapIndexes("movies", "movies_new"))
+    intercept[IllegalArgumentException](c.swapIndexes("movies", "movies"))
     intercept[IllegalArgumentException](c.index("../escape"))
+    // a committed index is not "indexing"; recovery dirs never list
+    assert(!c.stats("movies").isIndexing)
+    assert(c.danglingSwaps().isEmpty)
   }
 }

@@ -138,6 +138,23 @@ class ScalePathSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("value"),
       s"facet value predicate must push down:\n$plan")
     intercept[IllegalArgumentException](e.facetIndex("nope"))
+    // rebuild after a delete: counts follow the LIVE docs (the facet
+    // index is a live statistics table, unlike Lucene-semantics N/avgdl)
+    val dir2 = Files.createTempDirectory("facetdel").toString
+    IndexBuild.build(spark,
+      CorpusGen.generate(spark, 60).as[graft.corpus.SourceFile], dir2,
+      IndexConfig(docsPerShard = 16, termBuckets = 2, blockSize = 8,
+        numPartitions = 2))
+    IndexBuild.delete(spark, dir2, (0 until 60 by 5), "d1")
+    IndexBuild.buildFacetIndex(spark, dir2, Seq("lang"))
+    val e2 = new SearchEngine(spark, dir2)
+    assert(e2.facetRangeCount("lang", col("value").isNotNull) == e2.docs.count())
+    // and a SECOND rebuild is not a silent no-op after further deletes
+    // (fresh engine: tombstones are load-once metadata per instance)
+    IndexBuild.delete(spark, dir2, Seq(1, 2, 3), "d2")
+    IndexBuild.buildFacetIndex(spark, dir2, Seq("lang"))
+    val e3 = new SearchEngine(spark, dir2)
+    assert(e3.facetRangeCount("lang", col("value").isNotNull) == e3.docs.count())
   }
 
   test("degraded search bounds work to a docid-shard prefix and flags the result") {
