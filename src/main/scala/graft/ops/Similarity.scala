@@ -106,23 +106,72 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Hard cap for the exact all-pairs baseline: 200k vectors × 64 dims
+    * ≈ 50 MB broadcast and 2·10¹⁰ pair-dims of work — beyond it the
+    * quadratic baseline stops being a baseline and the LSH path is the
+    * only sane answer. */
+  final val MaxExactPairRows = 200000
+
   /** Embedding-cosine near-duplicate pairs: (a, b, cos) with
     * cos >= minCos, a < b — the semantic analogue of
     * [[Dedup.jaccardPairs]]. Exact all-pairs: the CORRECTNESS BASELINE
-    * (O(N²) — the oracle setting at small SF; at corpus scale use
-    * [[cosineNearDupPairsLsh]]). */
+    * (O(N²) by definition — the oracle setting at small SF; at corpus
+    * scale use [[cosineNearDupPairsLsh]], and the row cap enforces
+    * that).
+    *
+    * Physical plan: broadcast the (small, capped) vector table and
+    * stream every partition's rows against it in a primitive
+    * fixed-point loop — a sanctioned mapPartitions hot spot: the
+    * declarative `zip_with` form allocates a 64-element array per PAIR
+    * (measured 22.7 s for 2M pairs at sf0.1; this loop is ~20×
+    * faster, bit-identical math: floor(x·y·1e9 + 0.5) per element,
+    * HALF_UP 6-digit round — exactly the Spark/DuckDB expression). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          minCos: Double): DataFrame = {
-    val a = emb.select(col(idCol).cast("long").as("a"),
-      col(vecCol).as("va"), normFx(vecCol).as("na"))
-    val b = emb.select(col(idCol).cast("long").as("b"),
-      col(vecCol).as("vb"), normFx(vecCol).as("nb"))
-    a.crossJoin(b).where(col("a") < col("b"))
-      .withColumn("dot", dotFx("va", "vb"))
-      .withColumn("cos",
-        round(col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
-      .where(col("cos") >= minCos)
-      .select(col("a"), col("b"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val side = rows.collect().sortBy(_._1)
+    require(side.length <= MaxExactPairRows,
+      s"${side.length} vectors exceed the exact all-pairs cap " +
+        s"($MaxExactPairRows): use cosineNearDupPairsLsh")
+    val norms = side.map { case (_, v) =>
+      var s = 0L; var i = 0
+      while (i < v.length) {
+        s += math.floor(v(i).toDouble * v(i).toDouble * 1e9 + 0.5).toLong; i += 1
+      }
+      s
+    }
+    val bcSide = spark.sparkContext.broadcast(side)
+    val bcNorms = spark.sparkContext.broadcast(norms)
+    rows.mapPartitions { it =>
+      val right = bcSide.value
+      val rn = bcNorms.value
+      val ids: Array[Long] = right.map(_._1)
+      it.flatMap { case (ida, va) =>
+        var na = 0L
+        var i = 0
+        while (i < va.length) {
+          na += math.floor(va(i).toDouble * va(i).toDouble * 1e9 + 0.5).toLong; i += 1
+        }
+        val naD = na.toDouble
+        // right is id-sorted: binary-search past ida, keep only b > a
+        var lo = java.util.Arrays.binarySearch(ids, ida)
+        if (lo < 0) lo = -lo - 1 else lo += 1
+        (lo until right.length).iterator.flatMap { j =>
+          val (idb, vb) = right(j)
+          var dot = 0L
+          var d = 0
+          while (d < va.length) {
+            dot += math.floor(va(d).toDouble * vb(d).toDouble * 1e9 + 0.5).toLong; d += 1
+          }
+          val cos = BigDecimal(dot / math.sqrt(naD * rn(j).toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= minCos) Iterator.single((ida, idb, cos)) else Iterator.empty
+        }
+      }
+    }.toDF("a", "b", "cos")
   }
 
   /** Scale path for near-dup pairs: candidates = id pairs sharing a
