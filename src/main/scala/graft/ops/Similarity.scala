@@ -145,7 +145,10 @@ object Similarity {
     }
     val bcSide = spark.sparkContext.broadcast(side)
     val bcNorms = spark.sparkContext.broadcast(norms)
-    rows.mapPartitions { it =>
+    // spread the probe side across the cluster: the testdata parquet is
+    // a single row group (one input partition), and per-row work varies
+    // with id rank — a hash repartition balances both
+    rows.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
       val right = bcSide.value
       val rn = bcNorms.value
       val ids: Array[Long] = right.map(_._1)
