@@ -159,4 +159,24 @@ final class Index(val engine: SearchEngine,
   /** Exhaustive hit count for the request's query + filter. */
   def totalHits(r: SearchRequest): Long =
     engine.totalHits(r.q, conjunctive = false, filter = r.filter)
+
+  /** Facet distributions for the request's candidate set (reference
+    * `facets: [...]` in the search body → facetDistribution in the
+    * response): value counts per requested facet column, restricted to
+    * the query's candidates AND the request filter. */
+  def facetDistributions(r: SearchRequest, facets: Seq[String],
+                         maxValues: Int = 100): Map[String, DataFrame] = {
+    val base = r.filter.fold(engine.docs)(f =>
+      engine.docs.filter(graft.query.FilterParser.parse(f)))
+    // disjunctive candidates: the ranking cascade keeps partial-prefix
+    // matchers (strategy Last), so the facet universe includes them too
+    val universe = base
+      .join(broadcast(engine.candidates(r.q, conjunctive = false)),
+        Seq("docId"), "left_semi")
+    facets.map { fc =>
+      fc -> universe.groupBy(col(fc)).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(fc).asc)
+        .limit(maxValues)
+    }.toMap
+  }
 }

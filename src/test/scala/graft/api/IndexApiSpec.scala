@@ -143,4 +143,14 @@ class IndexApiSpec extends AnyFunSuite {
     assert(idx.totalHits(SearchRequest(q = "spark merge",
       filter = Some("lang = en"))) == 4)
   }
+
+  test("facetDistributions returns per-facet counts over query + filter candidates") {
+    val fd = idx.facetDistributions(SearchRequest(q = "spark merge"), Seq("lang"))
+    val langs = fd("lang").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every doc matches >=1 of spark/merge (candidates are disjunctive)
+    assert(langs == Map("en" -> 4, "fr" -> 1), s"$langs")
+    val filtered = idx.facetDistributions(
+      SearchRequest(q = "spark merge", filter = Some("lang = en")), Seq("lang"))
+    assert(filtered("lang").collect().map(r => r.getString(0)).toSeq == Seq("en"))
+  }
 }
