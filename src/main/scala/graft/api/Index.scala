@@ -52,18 +52,21 @@ final class Index(val engine: SearchEngine,
     else Map.empty
   }
 
+  private def strategyOf(name: String): TermsMatching = name.toLowerCase match {
+    case "last" => TermsMatching.Last
+    case "all" => TermsMatching.All
+    case "frequency" => TermsMatching.Frequency
+    case other => throw new IllegalArgumentException(
+      s"unknown matchingStrategy '$other' (last|all|frequency)")
+  }
+
+  private def fidsOf(attrs: Option[Seq[String]]): Option[Set[Int]] =
+    attrs.map(_.map(n => fieldIds.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown searchable attribute '$n'"))).toSet)
+
   def search(r: SearchRequest): DataFrame = {
-    val strategy = r.matchingStrategy.toLowerCase match {
-      case "last" => TermsMatching.Last
-      case "all" => TermsMatching.All
-      case "frequency" => TermsMatching.Frequency
-      case other => throw new IllegalArgumentException(
-        s"unknown matchingStrategy '$other' (last|all|frequency)")
-    }
-    val fids = r.attributesToSearchOn.map { names =>
-      names.map(n => fieldIds.getOrElse(n,
-        throw new IllegalArgumentException(s"unknown searchable attribute '$n'"))).toSet
-    }
+    val strategy = strategyOf(r.matchingStrategy)
+    val fids = fidsOf(r.attributesToSearchOn)
     // sort entries replace the `sort` rule slot in configured order
     // (multi-entry sort = lexicographic at that position)
     val rules = r.rankingRules.flatMap {
@@ -162,21 +165,18 @@ final class Index(val engine: SearchEngine,
 
   /** Facet distributions for the request's candidate set (reference
     * `facets: [...]` in the search body → facetDistribution in the
-    * response): value counts per requested facet column, restricted to
-    * the query's candidates AND the request filter. */
+    * response): value counts per requested facet column over the SAME
+    * universe `search` ranks — MeiliRank's matched docs under the
+    * request's derivations (typos/synonyms/splits/prefix), matching
+    * strategy and attributesToSearchOn — intersected with the request
+    * filter. */
   def facetDistributions(r: SearchRequest, facets: Seq[String],
                          maxValues: Int = 100): Map[String, DataFrame] = {
-    val base = r.filter.fold(engine.docs)(f =>
-      engine.docs.filter(graft.query.FilterParser.parse(f)))
-    // disjunctive candidates: the ranking cascade keeps partial-prefix
-    // matchers (strategy Last), so the facet universe includes them too
-    val universe = base
-      .join(broadcast(engine.candidates(r.q, conjunctive = false)),
-        Seq("docId"), "left_semi")
-    facets.map { fc =>
-      fc -> universe.groupBy(col(fc)).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col(fc).asc)
-        .limit(maxValues)
-    }.toMap
+    val uni0 = mr.matchedDocs(r.q, strategyOf(r.matchingStrategy),
+      fidsOf(r.attributesToSearchOn), r.lastWordIsPrefix)
+    val universe = r.filter.fold(uni0)(f =>
+      uni0.join(engine.docs.filter(graft.query.FilterParser.parse(f))
+        .select(col("docId")), Seq("docId"), "left_semi"))
+    facets.map(fc => fc -> engine.facetCountsOver(universe, fc, maxValues)).toMap
   }
 }

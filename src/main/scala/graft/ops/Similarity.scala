@@ -132,10 +132,17 @@ object Similarity {
     import spark.implicits._
     val rows = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    val side = rows.collect().sortBy(_._1)
+    // bounded collect: cap+1 rows (~50 MB) at most reach the driver, so
+    // the guard fires BEFORE an oversized table can OOM it
+    val side = rows.limit(MaxExactPairRows + 1).collect().sortBy(_._1)
     require(side.length <= MaxExactPairRows,
-      s"${side.length} vectors exceed the exact all-pairs cap " +
-        s"($MaxExactPairRows): use cosineNearDupPairsLsh")
+      s"embedding table exceeds the exact all-pairs cap " +
+        s"($MaxExactPairRows rows): use cosineNearDupPairsLsh")
+    // ids must be unique (primary-key contract): with duplicates the
+    // index walk below could emit a==b pairs or skip partners, where
+    // the declarative a<b cross join silently excluded them
+    side.indices.drop(1).foreach(i => require(side(i)._1 != side(i - 1)._1,
+      s"duplicate $idCol ${side(i)._1} in the embedding table"))
     val norms = side.map { case (_, v) =>
       var s = 0L; var i = 0
       while (i < v.length) {
@@ -145,36 +152,38 @@ object Similarity {
     }
     val bcSide = spark.sparkContext.broadcast(side)
     val bcNorms = spark.sparkContext.broadcast(norms)
-    // spread the probe side across the cluster: the testdata parquet is
-    // a single row group (one input partition), and per-row work varies
-    // with id rank — a hash repartition balances both
-    rows.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
+    // probe = indices into the broadcast (the data ships exactly once);
+    // row i pairs with all j > i, so work falls linearly with i — the
+    // i % P stratification gives every partition the same mix of heavy
+    // and light rows
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val order = side.indices.sortBy(i => (i % par, i))
+    val pairs = spark.sparkContext.parallelize(order, par).mapPartitions { it =>
       val right = bcSide.value
       val rn = bcNorms.value
-      val ids: Array[Long] = right.map(_._1)
-      it.flatMap { case (ida, va) =>
-        var na = 0L
-        var i = 0
-        while (i < va.length) {
-          na += math.floor(va(i).toDouble * va(i).toDouble * 1e9 + 0.5).toLong; i += 1
-        }
-        val naD = na.toDouble
-        // right is id-sorted: binary-search past ida, keep only b > a
-        var lo = java.util.Arrays.binarySearch(ids, ida)
-        if (lo < 0) lo = -lo - 1 else lo += 1
-        (lo until right.length).iterator.flatMap { j =>
+      it.flatMap { i =>
+        val (ida, va) = right(i)
+        val naD = rn(i).toDouble
+        (i + 1 until right.length).iterator.flatMap { j =>
           val (idb, vb) = right(j)
           var dot = 0L
           var d = 0
           while (d < va.length) {
             dot += math.floor(va(d).toDouble * vb(d).toDouble * 1e9 + 0.5).toLong; d += 1
           }
-          val cos = BigDecimal(dot / math.sqrt(naD * rn(j).toDouble))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= minCos) Iterator.single((ida, idb, cos)) else Iterator.empty
+          val denom = math.sqrt(naD * rn(j).toDouble)
+          // zero-norm vectors have no cosine: excluded, matching the
+          // declarative path where round(NaN) failed every threshold
+          if (denom == 0d) Iterator.empty
+          else {
+            val cos = BigDecimal(dot / denom)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= minCos) Iterator.single((ida, idb, cos)) else Iterator.empty
+          }
         }
       }
-    }.toDF("a", "b", "cos")
+    }
+    spark.createDataFrame(pairs).toDF("a", "b", "cos")
   }
 
   /** Scale path for near-dup pairs: candidates = id pairs sharing a

@@ -256,21 +256,20 @@ final class MeiliRank(engine: SearchEngine,
   /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
     * posCost, exactAttr, exactWords, rankingScore, plus doc columns),
     * ordered by the rule cascade with ascending-docId tie-break. */
-  def search(q: String, k: Int,
-             filterExpr: Option[String] = None,
-             sortBy: Option[(String, Boolean)] = None,
-             distinct: Option[String] = None,
-             lastIsPrefix: Boolean = false,
-             strategy: TermsMatching = TermsMatching.Last,
-             scoreThreshold: Option[Double] = None,
-             searchOnFids: Option[Set[Int]] = None,
-             rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
-    val pq = QueryParser.parse(q)
+  /** The words-rule matched universe: (slots, keep-order permutation,
+    * perDoc rows `docId, sl, wordsRank, typoCost, exactWords`) — the
+    * candidate set the cascade ranks. Slots empty / derivation-free →
+    * empty perDoc. */
+  private def matchedInternal(pq: ParsedQuery, lastIsPrefix: Boolean,
+                              strategy: TermsMatching,
+                              searchOnFids: Option[Set[Int]])
+      : (Seq[Slot], Array[Int], DataFrame) = {
     val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
     if (n == 0 || slots.forall(s => s.derivations.isEmpty && s.phraseDerivs.isEmpty))
-      return engine.docs.limit(0)
-        .select($"docId", lit(0).as("rankingScore"))
+      return (Nil, Array.empty,
+        spark.range(0).select($"id".cast("int").as("docId"),
+          lit(0).as("wordsRank"), lit(0).as("typoCost"), lit(0).as("exactWords")))
 
     // keep-order permutation: kpos(slot) < wordsRank ⟺ slot is kept.
     // Last: query order. Frequency: least-frequent kept longest
@@ -314,6 +313,36 @@ final class MeiliRank(engine: SearchEngine,
       case TermsMatching.All => perDoc0.filter($"wordsRank" === n)
       case _ => perDoc0
     }
+    (slots, kposArr, perDoc)
+  }
+
+  /** Matched-docs universe for a query under the full analysis surface
+    * (typo/synonym/split/ngram/prefix derivations, strategy, syntax,
+    * attributesToSearchOn) — what facet distributions count over
+    * (reference: facets are computed on the search's candidate set). */
+  def matchedDocs(q: String,
+                  strategy: TermsMatching = TermsMatching.Last,
+                  searchOnFids: Option[Set[Int]] = None,
+                  lastIsPrefix: Boolean = false): DataFrame =
+    matchedInternal(QueryParser.parse(q), lastIsPrefix, strategy, searchOnFids)
+      ._3.select($"docId")
+
+  def search(q: String, k: Int,
+             filterExpr: Option[String] = None,
+             sortBy: Option[(String, Boolean)] = None,
+             distinct: Option[String] = None,
+             lastIsPrefix: Boolean = false,
+             strategy: TermsMatching = TermsMatching.Last,
+             scoreThreshold: Option[Double] = None,
+             searchOnFids: Option[Set[Int]] = None,
+             rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
+    val pq = QueryParser.parse(q)
+    val (slots, kposArr, perDoc) =
+      matchedInternal(pq, lastIsPrefix, strategy, searchOnFids)
+    val n = slots.length
+    if (n == 0)
+      return engine.docs.limit(0)
+        .select($"docId", lit(0).as("rankingScore"))
 
     // proximity: min pair distance per original-adjacent kept slot pair;
     // absent pair (beyond cap) costs 8; pairs with a removed endpoint 0

@@ -302,7 +302,14 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * (reference facet_distribution.rs:332 execute; max_values_per_facet
     * default 100, facet/mod.rs:26). */
   def facetDistribution(q: String, facetCol: String, maxValues: Int = 100): DataFrame =
-    docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+    facetCountsOver(broadcast(candidates(q)), facetCol, maxValues)
+
+  /** Facet value counts over an explicit docId universe (shared by
+    * facetDistribution and the api facade's per-request facets — ONE
+    * definition of the count/tie-order/limit semantics). */
+  def facetCountsOver(universe: DataFrame, facetCol: String,
+                      maxValues: Int = 100): DataFrame =
+    docs.join(universe.select($"docId"), Seq("docId"), "left_semi")
       .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(facetCol).asc)
       .limit(maxValues)

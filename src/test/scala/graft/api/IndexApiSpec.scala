@@ -152,5 +152,15 @@ class IndexApiSpec extends AnyFunSuite {
     val filtered = idx.facetDistributions(
       SearchRequest(q = "spark merge", filter = Some("lang = en")), Seq("lang"))
     assert(filtered("lang").collect().map(r => r.getString(0)).toSeq == Seq("en"))
+    // the facet universe follows the search's derivations: a typo'd
+    // query still counts docs matched via its 1-typo derivation
+    val typo = idx.facetDistributions(SearchRequest(q = "sparkk merge"), Seq("lang"))
+    val typoLangs = typo("lang").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typoLangs == langs, s"derivation-aware universe: $typoLangs vs $langs")
+    // and the matching strategy restricts it: All keeps only full matches
+    val all = idx.facetDistributions(
+      SearchRequest(q = "spark merge", matchingStrategy = "all"), Seq("lang"))
+    val allN = all("lang").collect().map(_.getLong(1)).sum
+    assert(allN == 4, s"docs matching BOTH words: $allN") // doc 4 excluded
   }
 }
