@@ -898,7 +898,8 @@ object SparkEntry {
         | FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
         |SELECT d.a, d.b, round(d.dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6) AS cos
         |FROM dots d JOIN nrm na ON na.vec_id = d.a JOIN nrm nb ON nb.vec_id = d.b
-        |WHERE round(d.dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6) >= 0.4
+        |WHERE na.nn > 0 AND nb.nn > 0
+        |AND round(d.dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6) >= 0.4
         |ORDER BY a, b""".stripMargin,
     "q_tokens" ->
       """SELECT doc_id AS id,

@@ -159,9 +159,22 @@ final class Index(val engine: SearchEngine,
       StructType(page.schema.fields ++ extraFields))
   }
 
-  /** Exhaustive hit count for the request's query + filter. */
+  /** Exhaustive hit count for the request: the SAME derivation-aware
+    * matched universe `search` ranks and `facetDistributions` counts —
+    * the three API surfaces must agree on one candidate set. */
   def totalHits(r: SearchRequest): Long =
-    engine.totalHits(r.q, conjunctive = false, filter = r.filter)
+    requestUniverse(r).count()
+
+  /** The request's candidate docIds: MeiliRank's matched docs under the
+    * request's derivations/strategy/attributesToSearchOn, intersected
+    * with its filter. */
+  private def requestUniverse(r: SearchRequest): DataFrame = {
+    val uni0 = mr.matchedDocs(r.q, strategyOf(r.matchingStrategy),
+      fidsOf(r.attributesToSearchOn), r.lastWordIsPrefix)
+    r.filter.fold(uni0)(f =>
+      uni0.join(engine.docs.filter(graft.query.FilterParser.parse(f))
+        .select(col("docId")), Seq("docId"), "left_semi"))
+  }
 
   /** Facet distributions for the request's candidate set (reference
     * `facets: [...]` in the search body → facetDistribution in the
@@ -172,11 +185,11 @@ final class Index(val engine: SearchEngine,
     * filter. */
   def facetDistributions(r: SearchRequest, facets: Seq[String],
                          maxValues: Int = 100): Map[String, DataFrame] = {
-    val uni0 = mr.matchedDocs(r.q, strategyOf(r.matchingStrategy),
-      fidsOf(r.attributesToSearchOn), r.lastWordIsPrefix)
-    val universe = r.filter.fold(uni0)(f =>
-      uni0.join(engine.docs.filter(graft.query.FilterParser.parse(f))
-        .select(col("docId")), Seq("docId"), "left_semi"))
+    // one universe, broadcast into every per-facet semi-join (same hint
+    // the engine's facetDistribution uses); each returned DataFrame is
+    // an independent plan — callers wanting several facets materialized
+    // together should cache the request's result set
+    val universe = broadcast(requestUniverse(r))
     facets.map(fc => fc -> engine.facetCountsOver(universe, fc, maxValues)).toMap
   }
 }

@@ -172,8 +172,10 @@ object Similarity {
             dot += math.floor(va(d).toDouble * vb(d).toDouble * 1e9 + 0.5).toLong; d += 1
           }
           val denom = math.sqrt(naD * rn(j).toDouble)
-          // zero-norm vectors have no cosine: excluded, matching the
-          // declarative path where round(NaN) failed every threshold
+          // zero-norm vectors have no defined cosine: excluded on both
+          // sides — the q_neardup oracle filters nn > 0 identically
+          // (DuckDB would otherwise emit inf/NaN cosines that pass the
+          // threshold; Spark's declarative divide yields NULL)
           if (denom == 0d) Iterator.empty
           else {
             val cos = BigDecimal(dot / denom)

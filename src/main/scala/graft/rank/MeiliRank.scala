@@ -253,9 +253,6 @@ final class MeiliRank(engine: SearchEngine,
       .select($"docId", $"slot", $"pos")
   }
 
-  /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
-    * posCost, exactAttr, exactWords, rankingScore, plus doc columns),
-    * ordered by the rule cascade with ascending-docId tie-break. */
   /** The words-rule matched universe: (slots, keep-order permutation,
     * perDoc rows `docId, sl, wordsRank, typoCost, exactWords`) — the
     * candidate set the cascade ranks. Slots empty / derivation-free →
@@ -327,6 +324,10 @@ final class MeiliRank(engine: SearchEngine,
     matchedInternal(QueryParser.parse(q), lastIsPrefix, strategy, searchOnFids)
       ._3.select($"docId")
 
+  /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
+    * fidCost, posCost, exactAttr, exactWords, rankingScore, plus doc
+    * columns), ordered by the rule cascade with ascending-docId
+    * tie-break. */
   def search(q: String, k: Int,
              filterExpr: Option[String] = None,
              sortBy: Option[(String, Boolean)] = None,

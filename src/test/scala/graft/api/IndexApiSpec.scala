@@ -147,7 +147,8 @@ class IndexApiSpec extends AnyFunSuite {
   test("facetDistributions returns per-facet counts over query + filter candidates") {
     val fd = idx.facetDistributions(SearchRequest(q = "spark merge"), Seq("lang"))
     val langs = fd("lang").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // every doc matches >=1 of spark/merge (candidates are disjunctive)
+    // universe = words-rule matched docs (keep-order prefix): every
+    // fixture doc matches at least slot 0 ('spark'), so all 5 count
     assert(langs == Map("en" -> 4, "fr" -> 1), s"$langs")
     val filtered = idx.facetDistributions(
       SearchRequest(q = "spark merge", filter = Some("lang = en")), Seq("lang"))
