@@ -228,36 +228,75 @@ object Bench {
     // cores already match 32 within ~5% on this DRAM-bound pipeline), so
     // the pair isolates the ENGINE's scaling the way 4x separate cluster
     // nodes would — each node brings its own memory bandwidth.
+    //
+    // The attempts are SPLIT into two windows separated by the ~15-min
+    // query phase (round-2 lesson: the host's DRAM-pressure windows last
+    // up to 90 min; one contiguous attempt window can be fully covered
+    // by one, but two windows ~20 min apart rarely both are). Best
+    // samples carry across the spacer via initLow/initHigh.
     val lowCores = math.max(1, cpus / 8)
     val highCores = math.max(2, cpus / 2)
     val coreRatio = highCores.toDouble / lowCores
+
+    // ---- scaling window A (pre-queries) --------------------------------
     var (wallLow, wallHigh) =
       if (skipScaling) (1.0, 1.0)
-      else scalingThroughput(lowCores, highCores, buildN, corpusDir, budgetSec, target)
-    // the PRIMARY pair is the round gate; the secondary is informational.
-    // If the gate failed inside its own budget (a degraded-host hour),
-    // reallocate the secondary's budget to more gate retries, carrying
-    // the best samples forward.
-    var gateBudgetSpent = false
-    if (!skipScaling && wallLow / (wallHigh * coreRatio) < 0.8) {
-      gateBudgetSpent = true
+      else scalingThroughput(lowCores, highCores, buildN, corpusDir,
+        budgetSec * 0.45, target)
+    def gateEff = wallLow / (wallHigh * coreRatio)
+
+    // secondary pair (quarter -> full machine: includes the shared-DRAM
+    // ceiling a real 4x-node cluster would not have; informational).
+    // Run early only when the gate already passed — otherwise its budget
+    // is reserved for gate retries in window B.
+    var wallLow2 = 1.0; var wallHigh2 = 1.0
+    var secondaryDone = skipScaling
+    if (!skipScaling && gateEff >= 0.8) {
+      val p = scalingThroughput(math.max(1, cpus / 4), cpus, buildN, corpusDir,
+        budgetSec * 0.2, target * 0.85)
+      wallLow2 = p._1; wallHigh2 = p._2; secondaryDone = true
+    }
+
+    // ---- query phase (doubles as the time spacer between windows) -----
+    val (results, errors, p50) = queryPhase(sfDir, cpus)
+
+    // ---- scaling window B (post-queries): gate retries with carried
+    // best samples; fresh quiet-sensing budget for the second window ----
+    if (!skipScaling && gateEff < 0.8) {
+      quietWaitBudget = 300.0
       val (l2, h2) = scalingThroughput(lowCores, highCores, buildN, corpusDir,
-        budgetSec * 0.4, target, initLow = wallLow, initHigh = wallHigh)
+        budgetSec * 0.55, target, initLow = wallLow, initHigh = wallHigh)
       wallLow = l2; wallHigh = h2
+    }
+    if (!skipScaling && !secondaryDone) {
+      // gate consumed the shared budget: single un-retried secondary pair
+      val p = scalingThroughput(math.max(1, cpus / 4), cpus, buildN, corpusDir,
+        0.0, target * 0.85)
+      wallLow2 = p._1; wallHigh2 = p._2
     }
     val (thrLow, thrHigh) = (buildN / wallLow, buildN / wallHigh)
     val efficiency = (thrHigh / thrLow) / coreRatio
-    // Secondary pair: quarter machine -> full machine (8 -> 32): includes
-    // the shared-DRAM ceiling a real multi-node 4x would not have.
-    // Skipped (single pair, no retries) when its budget went to the gate.
-    val (wallLow2, wallHigh2) =
-      if (skipScaling) (1.0, 1.0)
-      else scalingThroughput(math.max(1, cpus / 4), cpus, buildN, corpusDir,
-        if (gateBudgetSpent) 0.0 else budgetSec * 0.4, target * 0.85)
     val (thrLow2, thrHigh2) = (buildN / wallLow2, buildN / wallHigh2)
     val efficiency2 = (thrHigh2 / thrLow2) / 4.0
 
-    // ---- per-query timings on the driver's sf dir ----------------------
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
+      s""""build_files_per_sec":${thrHigh2.round},"query_p50_ms":${p50.round},""" +
+      s""""scaling":{"cores_low":$lowCores,"cores_high":$highCores,""" +
+      f""""files_per_sec_low":${thrLow.round},"files_per_sec_high":${thrHigh.round},"efficiency":$efficiency%.3f,""" +
+      s""""full_machine":{"cores_low":${math.max(1, cpus / 4)},"cores_high":$cpus,""" +
+      f""""files_per_sec_low":${thrLow2.round},"files_per_sec_high":${thrHigh2.round},"efficiency":$efficiency2%.3f}}}"""
+    println(json)
+  }
+
+  /** Warm + timed run of every SparkEntry query on the driver's sf dir,
+    * plus the warm top-k latency p50. Owns its session. */
+  private def queryPhase(sfDir: String, cpus: Int)
+      : (Seq[(String, Double)], Seq[String], Double) = {
     val spark = newSession(cpus)
     // warm the document index once so query timings measure queries
     DocIndex.engine(spark, sfDir)
@@ -297,19 +336,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }).sorted
     val p50 = lat(lat.length / 2)
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
-      s""""build_files_per_sec":${thrHigh2.round},"query_p50_ms":${p50.round},""" +
-      s""""scaling":{"cores_low":$lowCores,"cores_high":$highCores,""" +
-      f""""files_per_sec_low":${thrLow.round},"files_per_sec_high":${thrHigh.round},"efficiency":$efficiency%.3f,""" +
-      s""""full_machine":{"cores_low":${math.max(1, cpus / 4)},"cores_high":$cpus,""" +
-      f""""files_per_sec_low":${thrLow2.round},"files_per_sec_high":${thrHigh2.round},"efficiency":$efficiency2%.3f}}}"""
-    println(json)
     spark.stop()
+    (results, errors, p50)
   }
 }

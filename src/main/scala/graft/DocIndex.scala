@@ -22,14 +22,16 @@ object DocIndex {
     engines.getOrElseUpdate(sfDir, {
       val dir = indexDir(sfDir)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cfg = IndexConfig(docsPerShard = 512, termBuckets = 4,
+        blockSize = 128, numPartitions = 8, positions = true)
       IndexBuild.buildFromTable(spark, docs,
         docIdCol = "doc_id", contentCol = "text", langCol = "lang",
-        sourceCol = "source", indexDir = dir,
-        cfg = IndexConfig(docsPerShard = 512, termBuckets = 4,
-          blockSize = 128, numPartitions = 8, positions = true))
+        sourceCol = "source", indexDir = dir, cfg = cfg)
       // facet value indexes (U4): lineage-committed, so adding a column
       // here upgrades cached indexes in place on next use
       IndexBuild.buildFacetIndex(spark, dir, Seq("len", "lang"))
+      // precomputed prefix tables (U3): lineage-committed one-time stage
+      IndexBuild.buildPrefixIndex(spark, dir, cfg)
       new SearchEngine(spark, dir)
     })
 }

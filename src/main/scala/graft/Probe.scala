@@ -46,27 +46,28 @@ object Probe {
       docs.select($"docId", $"content").as[(Int, String)]
         .flatMap { case (i, c) => IndexBuild.termDocsOf(i, c) }.count()
     }
+    val dps = 4096
+    val shardDiv = s"key div CAST(${dps.toLong << 32} AS BIGINT)"
     val tds = docs.select($"docId", $"content").as[(Int, String)]
-      .flatMap { case (i, c) => IndexBuild.termDocsOf(i, c) }
-      .map(td => (td.term, td.docId / 4096, td.docId, td.tf, IndexBuild.bucketOf(td.term, 4)))
-      .toDF("term", "shard", "docId", "tf", "bucket")
+      .flatMap { case (i, c) =>
+        IndexBuild.termDocsOf(i, c).map(td => (td.term, IndexBuild.packKey(td.docId, td.tf)))
+      }
+      .toDF("term", "key")
     time("tok+shuffle+sort") {
-      tds.repartition(cores * 2, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId").count()
+      tds.repartition(cores * 2, $"term", expr(shardDiv))
+        .sortWithinPartitions($"term", $"key").count()
     }
     time("tok+shuf+sort+enc") {
-      tds.repartition(cores * 2, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .select($"term", $"shard", $"docId", $"tf", $"bucket")
-        .as[(String, Int, Int, Int, Int)]
-        .mapPartitions(r => IndexBuild.encodePartition(r, 128, 4)).count()
+      tds.repartition(cores * 2, $"term", expr(shardDiv))
+        .sortWithinPartitions($"term", $"key")
+        .as[(String, Long)]
+        .mapPartitions(r => IndexBuild.encodePartition(r, 128, 4, dps)).count()
     }
     time("full+write") {
-      tds.repartition(cores * 2, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .select($"term", $"shard", $"docId", $"tf", $"bucket")
-        .as[(String, Int, Int, Int, Int)]
-        .mapPartitions(r => IndexBuild.encodePartition(r, 128, 4))
+      tds.repartition(cores * 2, $"term", expr(shardDiv))
+        .sortWithinPartitions($"term", $"key")
+        .as[(String, Long)]
+        .mapPartitions(r => IndexBuild.encodePartition(r, 128, 4, dps))
         .toDF(IndexBuild.EncodedCols: _*)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/post")
     }
@@ -79,11 +80,11 @@ object Probe {
       t <- (0 until 150).iterator
       s <- (0 until 25).iterator
       d <- (0 until 600).iterator
-    } yield (s"term$t", s, s * 100000 + d, 1 + (d % 5), t % 4)).toArray
+    } yield (s"term$t", IndexBuild.packKey(s * 100000 + d, 1 + (d % 5)))).toArray
     println(s"${data.length} rows")
     (1 to 3).foreach { _ =>
       val t0 = System.nanoTime()
-      val n = IndexBuild.encodePartition(data.iterator, 128, 4).size
+      val n = IndexBuild.encodePartition(data.iterator, 128, 4, 100000).size
       println(f"encode: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $n blocks")
     }
   }

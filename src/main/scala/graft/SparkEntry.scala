@@ -41,6 +41,18 @@ object SparkEntry {
   private def eventsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Persisted bucket-partitioned LSH index over the sf dir's
+    * embeddings, built once (the ANN scale path: queries read only
+    * probed bucket partitions). Shared by q_knn_lsh and the hybrid
+    * semantic-arm routing. */
+  private def lshIndexDir(s: SparkSession, dir: String): String = {
+    val idxDir = s"/tmp/graft-lshidx-v1/${dirTag(dir)}"
+    if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
+      graft.ops.Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
+        idxDir, nPlanes = 4)
+    idxDir
+  }
+
   /** documents + deterministic synthetic `_geo_lat`/`_geo_lng` fields
     * (the corpus has no geo columns; identical doc_id-derived formula in
     * the DuckDB oracle). Lat in [-80, 80), lng in [-170, 170). */
@@ -180,15 +192,8 @@ object SparkEntry {
     "q_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embDf(s, dir), "vec_id", "embedding", 0.4)
         .orderBy(col("a"), col("b"))),
-    "q_knn_lsh" -> ((s, dir) => { // rows-only: approximate path
-      // persisted bucket-partitioned LSH index, built once per sf dir
-      // (the scale path: queries read only probed bucket partitions)
-      val idxDir = s"/tmp/graft-lshidx-v1/${dirTag(dir)}"
-      if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
-        Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
-          idxDir, nPlanes = 4)
-      Similarity.lshIndexTopK(s, idxDir, 0L, 10)
-    }),
+    "q_knn_lsh" -> ((s, dir) => // rows-only: approximate path
+      Similarity.lshIndexTopK(s, lshIndexDir(s, dir), 0L, 10)),
     // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
     "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
     "q_meili_typo" -> ((s, dir) => meiliQuery(s, dir, "spork merge")),
@@ -236,8 +241,13 @@ object SparkEntry {
     // ---- hybrid keyword + semantic merge (R8) ---------------------------
     "q_hybrid" -> ((s, dir) => {
       val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+      // semantic arm cost-routed: the persisted LSH index is supplied,
+      // but below SemanticExactMaxRows vectors the exact brute-force
+      // path runs (identical to the DuckDB oracle); at scale the SAME
+      // call reads only probed bucket partitions of the index
       graft.search.Hybrid.search(mr, embDf(s, dir), "vec_id", "embedding",
-        "spark merge", queryVecId = 0L, ratio = 0.5, k = 20)
+        "spark merge", queryVecId = 0L, ratio = 0.5, k = 20,
+        semanticIndexDir = Some(lshIndexDir(s, dir)))
         .select(col("docId").cast("long").as("doc_id"),
           col("hybridScore").as("hybrid_score"),
           col("kwScore").as("kw_score"), col("semScore").as("sem_score"))

@@ -65,6 +65,7 @@ final class Index(val engine: SearchEngine,
       throw new IllegalArgumentException(s"unknown searchable attribute '$n'"))).toSet)
 
   def search(r: SearchRequest): DataFrame = {
+    if (r.q.trim.isEmpty) return placeholderSearch(r)
     val strategy = strategyOf(r.matchingStrategy)
     val fids = fidsOf(r.attributesToSearchOn)
     // sort entries replace the `sort` rule slot in configured order
@@ -117,6 +118,9 @@ final class Index(val engine: SearchEngine,
     // at adjacency sites (the reference matcher's phrase arm)
     val slots = mr.analyze(r.q, r.lastWordIsPrefix)
     val terms = slots.filterNot(_.noTypo).flatMap(_.derivations.map(_._1)).toSet
+    // table-served prefixes carry no per-term derivations: highlight by
+    // startsWith instead (the Highlighter's prefix arm)
+    val prefixes = slots.flatMap(_.prefixDerivs).toSet
     val phrases: Seq[Seq[String]] =
       graft.query.QueryParser.parse(r.q).phrases ++
         slots.flatMap(_.phraseDerivs.map(_._1))
@@ -139,13 +143,13 @@ final class Index(val engine: SearchEngine,
           graft.search.Highlighter.crop(text, cropTerms, n, r.cropMarker))
         extra += (if (r.highlight)
           graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag,
-            phrases = phrases)
+            prefixTerms = prefixes, phrases = phrases)
         else cropped)
       }
       // `_matchesPosition` (reference show_matches_position: per-match
       // term + word position + char span over the stored field)
       if (r.showMatchesPosition)
-        extra += (graft.search.Highlighter.matchPositions(text, terms) ++
+        extra += (graft.search.Highlighter.matchPositions(text, terms, prefixes) ++
           phrases.flatMap(p => graft.search.Highlighter.phrasePositions(text, p)))
           .sortBy(_.start)
           .map(m => s"${m.term}@${m.pos}[${m.start},${m.end})").mkString(";")
@@ -159,18 +163,67 @@ final class Index(val engine: SearchEngine,
       StructType(page.schema.fields ++ extraFields))
   }
 
+  /** Placeholder search (reference: an empty `q` matches every
+    * document, ordered by the applicable rules —
+    * meilisearch/src/search/mod.rs placeholder path): all live docs,
+    * filter / sort / distinct / pagination still applied; every doc
+    * scores 1.0 (no relevance signal to rank on). */
+  private def placeholderSearch(r: SearchRequest): DataFrame = {
+    val filtered = r.filter.fold(engine.docs)(f =>
+      engine.docs.filter(graft.query.FilterParser.parse(f)))
+    val sortCols = r.sort.map { s =>
+      val Array(f, dir) = s.split(":")
+      if (dir == "asc") col(f).asc_nulls_last else col(f).desc_nulls_last
+    } :+ col("docId").asc
+    val deduped = r.distinct match {
+      case Some(dcol) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(dcol)).orderBy(sortCols: _*)
+        filtered.withColumn("_rn", row_number().over(w))
+          .where($"_rn" === 1).drop("_rn")
+      case None => filtered
+    }
+    val page = deduped.withColumn("rankingScore", lit(1.0))
+      .orderBy(sortCols: _*).limit(r.offset + r.limit)
+    if (r.offset == 0) page
+    else {
+      val rows = page.collect().drop(r.offset).toSeq
+      engine.spark.createDataFrame(
+        engine.spark.sparkContext.parallelize(rows, 1), page.schema)
+    }
+  }
+
   /** Exhaustive hit count for the request: the SAME derivation-aware
     * matched universe `search` ranks and `facetDistributions` counts —
-    * the three API surfaces must agree on one candidate set. */
-  def totalHits(r: SearchRequest): Long =
-    requestUniverse(r).count()
+    * the three API surfaces must agree on one candidate set. With
+    * `distinct` set, the count is of the distinct-COLLAPSED universe
+    * (reference applies the distinct rule before exhaustive counting,
+    * search/new/mod.rs:829-842; meilisearch/src/search/mod.rs:1098-1109)
+    * so page counts agree with what pagination actually returns: one
+    * doc per distinct value, plus one per docs missing the attribute...
+    * which the ranking window also collapses to a single null-group
+    * representative — counted as 1 here identically. */
+  def totalHits(r: SearchRequest): Long = {
+    val uni = requestUniverse(r)
+    r.distinct match {
+      case None => uni.count()
+      case Some(dcol) =>
+        val row = engine.docs.join(uni.select(col("docId")), Seq("docId"), "left_semi")
+          .agg(countDistinct(col(dcol)).as("nv"),
+            count(when(col(dcol).isNull, 1)).as("nNull")).collect()(0)
+        row.getLong(0) + (if (row.getLong(1) > 0) 1L else 0L)
+    }
+  }
 
   /** The request's candidate docIds: MeiliRank's matched docs under the
     * request's derivations/strategy/attributesToSearchOn, intersected
-    * with its filter. */
+    * with its filter; the full (filtered) doc set for a placeholder
+    * (empty-q) request. */
   private def requestUniverse(r: SearchRequest): DataFrame = {
-    val uni0 = mr.matchedDocs(r.q, strategyOf(r.matchingStrategy),
-      fidsOf(r.attributesToSearchOn), r.lastWordIsPrefix)
+    val uni0 =
+      if (r.q.trim.isEmpty) engine.docs.select(col("docId"))
+      else mr.matchedDocs(r.q, strategyOf(r.matchingStrategy),
+        fidsOf(r.attributesToSearchOn), r.lastWordIsPrefix)
     r.filter.fold(uni0)(f =>
       uni0.join(engine.docs.filter(graft.query.FilterParser.parse(f))
         .select(col("docId")), Seq("docId"), "left_semi"))

@@ -212,6 +212,46 @@ object Tokenizer extends Serializable {
   /** Tokenize and keep only terms (for df/tf paths). */
   def terms(text: String): Seq[String] = tokenize(text).map(_.term)
 
+  /** Count of tokens [[tokenize]] would emit, without materializing
+    * them — the doc-length (`len`) pass runs this once per document, so
+    * skipping the Token/offset allocations is a measurable slice of the
+    * index build. Equality with `tokenize(text).length` is spec-fuzzed
+    * (TokenizerSpec). */
+  def countTokens(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    var cnt = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isWordChar(text.charAt(i))) {
+        val start = i
+        while (i < n && isWordChar(text.charAt(i))) i += 1
+        subtokens(text.substring(start, i)).foreach { sub =>
+          val norm = normalize(sub)
+          if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength)
+            cnt += 1
+        }
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** [[bucketPosition]] as a pure Column expression (same piecewise
+    * arithmetic) — keeps the ranking cascade inside whole-stage codegen
+    * where a scalar UDF would break it. Equality with the scalar
+    * version is spec-checked over the full bucket range. */
+  def bucketPositionCol(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def seg(base: Int, from: Int, div: Int) =
+      (lit(base) + floor((p - lit(from)) / lit(div))).cast("int")
+    when(p < PositionBucketStart, p)
+      .when(p < 24, seg(16, 16, 2))
+      .when(p < 64, seg(20, 24, 8))
+      .when(p < 256, seg(25, 64, 32))
+      .when(p < 1024, seg(31, 256, 128))
+      .otherwise(least(lit(47), seg(37, 1024, 1024)))
+  }
+
   /** Simple split used by the SQL-oracle-checked queries: lowercase,
     * split on non-alphanumeric runs. Matches DuckDB
     * `string_split_regex(lower(text), '[^a-z0-9]+')`. */

@@ -26,22 +26,46 @@ object Dump {
 
   def exportDump(spark: SparkSession, indexDir: String, dumpDir: String): Unit = {
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/docs")
-      .select($"repo", $"path", $"commit", $"lang", $"content")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // multi-field indexes flatten to the concatenated content column in
+    // this dump format — exporting one would silently lose the field
+    // structure on import, so fail fast (reference dumps carry full
+    // per-index settings; multi-field dump support is a format v2)
+    require(!fs.exists(new Path(s"$indexDir/fields")),
+      "exportDump does not support multi-field indexes: the documents.jsonl " +
+        "format stores only the concatenated content column")
+    // LIVE documents only: a dump taken after delete() but before
+    // compact() must not resurrect tombstoned docs on import
+    val docs0 = spark.read.parquet(s"$indexDir/docs")
+    val delP = new Path(s"$indexDir/deleted")
+    val live =
+      if (fs.exists(delP))
+        docs0.join(broadcast(spark.read.parquet(s"$indexDir/deleted")
+          .select($"docId")), Seq("docId"), "left_anti")
+      else docs0
+    live.select($"repo", $"path", $"commit", $"lang", $"content")
       .write.mode("overwrite").json(s"$dumpDir/documents")
 
     val stats = spark.read.parquet(s"$indexDir/stats")
       .as[(String, Double)].collect().toMap
-    val stopP = new org.apache.hadoop.fs.Path(s"$indexDir/stopwords")
-    val fs = stopP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stop: Seq[String] =
-      if (fs.exists(stopP))
+      if (fs.exists(new Path(s"$indexDir/stopwords")))
         spark.read.parquet(s"$indexDir/stopwords").as[String].collect().toSeq.sorted
       else Nil
-    val positions = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/positions"))
+    val positions = fs.exists(new Path(s"$indexDir/positions"))
+    // facet indexes are derived tables: record their columns so import
+    // rebuilds them (the reference dump's settings capture filterable
+    // attributes the same way)
+    val facetCols: Seq[String] = {
+      val fp = new Path(s"$indexDir/facets")
+      if (fs.exists(fp)) fs.listStatus(fp).map(_.getPath.getName).toSeq.sorted
+      else Nil
+    }
     Seq((stats("docsPerShard").toInt, stats("termBuckets").toInt,
-        stats("blockSize").toInt, positions, stop))
-      .toDF("docsPerShard", "termBuckets", "blockSize", "positions", "stopWords")
+        stats("blockSize").toInt, positions, stop, facetCols))
+      .toDF("docsPerShard", "termBuckets", "blockSize", "positions",
+        "stopWords", "facetColumns")
       .repartition(1).write.mode("overwrite").json(s"$dumpDir/settings")
   }
 
@@ -64,5 +88,12 @@ object Dump {
         $"content".cast("string"))
       .as[SourceFile]
     IndexBuild.build(spark, docs, indexDir, restored)
+    // rebuild derived facet indexes recorded in the dump settings
+    // (older dumps have no facetColumns field)
+    if (st.schema.fieldNames.contains("facetColumns")) {
+      val cols = st.getAs[scala.collection.Seq[String]]("facetColumns")
+      if (cols != null && cols.nonEmpty)
+        IndexBuild.buildFacetIndex(spark, indexDir, cols.toSeq)
+    }
   }
 }

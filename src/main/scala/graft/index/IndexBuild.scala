@@ -75,6 +75,19 @@ object IndexBuild {
   def bucketOf(term: String, buckets: Int): Int =
     math.floorMod(term.hashCode, buckets)
 
+  /** Pack one (docId, tf) posting entry into a single long — the
+    * posting shuffle ships (term, key) rows only: `shard` is derivable
+    * (docId / docsPerShard) and `bucket` is a function of the term, so
+    * carrying them through the exchange is pure DRAM traffic (the
+    * shuffle is the build's bandwidth bottleneck, and bandwidth is what
+    * degrades first when executors contend — fewer bytes per row is a
+    * direct scaling-efficiency lever). Sorting by (term, key) equals
+    * sorting by (term, shard, docId): shard is monotone in docId. */
+  @inline def packKey(docId: Int, tf: Int): Long =
+    (docId.toLong << 32) | (tf.toLong & 0xffffffffL)
+  @inline def keyDoc(key: Long): Int = (key >>> 32).toInt
+  @inline def keyTf(key: Long): Int = key.toInt
+
   /** Per-doc tokenize + aggregate: one TermDoc row per distinct term.
     * Stop words are skipped but still advanced positions (tokenize
     * already assigned them). */
@@ -128,7 +141,7 @@ object IndexBuild {
             require(id <= Int.MaxValue,
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
-            val len = Tokenizer.tokenize(f.content).length
+            val len = Tokenizer.countTokens(f.content)
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content), len)
             id += 1
@@ -154,23 +167,28 @@ object IndexBuild {
     val dps = cfg.docsPerShard
     val tb = cfg.termBuckets
     val stop = cfg.stopWords
-    def termDocKeys: DataFrame = docsDf.select($"docId", $"content")
+    // the shuffle ships exactly (term, packed docId|tf): see [[packKey]]
+    def termDocKeys: Dataset[(String, Long)] = docsDf.select($"docId", $"content")
       .as[(Int, String)]
-      .flatMap { case (id, c) => termDocsOf(id, c, stop) }
-      .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
-      .toDF("term", "shard", "docId", "tf", "bucket")
-    def encoded(df: DataFrame): DataFrame = df
-      .repartition(cfg.numPartitions, $"term", $"shard")
-      .sortWithinPartitions($"term", $"shard", $"docId")
-      .select($"term", $"shard", $"docId", $"tf", $"bucket")
-      .as[(String, Int, Int, Int, Int)]
-      .mapPartitions(rows => encodePartition(rows, blockSize, tb))
+      .flatMap { case (id, c) =>
+        termDocsOf(id, c, stop).map(td => (td.term, packKey(td.docId, td.tf)))
+      }
+    def encoded(ds: Dataset[(String, Long)]): DataFrame = ds
+      .toDF("term", "key")
+      // hash-partition on (term, shard): shard = key div (dps << 32) is
+      // exact integer arithmetic (tf occupies the low 32 bits), so the
+      // skew salt is identical to materializing a shard column
+      .repartition(cfg.numPartitions, $"term",
+        expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
+      .sortWithinPartitions($"term", $"key")
+      .as[(String, Long)]
+      .mapPartitions(rows => encodePartition(rows, blockSize, tb, dps))
       .toDF(EncodedCols: _*)
 
     if (cfg.bucketWaves) {
       (0 until tb).foreach { b =>
         Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
-          encoded(termDocKeys.filter($"bucket" === b)).drop("bucket")
+          encoded(termDocKeys.filter(t => bucketOf(t._1, tb) == b)).drop("bucket")
             .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
           postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
         }
@@ -222,7 +240,7 @@ object IndexBuild {
               .filter(t => stop.isEmpty || !stop.contains(t.term))
               .toSeq.groupBy(_.term).iterator.map {
                 case (term, toks) =>
-                  (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+                  (term, id, toks.map(t => math.min(t.pos, 0xffff)).toArray, bucketOf(term, tb))
               }
           }.toDF("term", "docId", "positions", "bucket")
           .repartition(cfg.numPartitions, $"term")
@@ -274,7 +292,7 @@ object IndexBuild {
                 "index and merge via search.Federation")
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content),
-              Tokenizer.tokenize(f.content).length)
+              Tokenizer.countTokens(f.content))
             id += 1
             r
           }
@@ -306,14 +324,15 @@ object IndexBuild {
         val stop = cfg.stopWords
         val staging = s"$indexDir/_stage_postings_$batchId"
         deltaDocs.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) => termDocsOf(id, c, stop) }
-          .map(td => (td.term, td.docId / dps, td.docId, td.tf, bucketOf(td.term, tb)))
-          .toDF("term", "shard", "docId", "tf", "bucket")
-          .repartition(cfg.numPartitions, $"term", $"shard")
-          .sortWithinPartitions($"term", $"shard", $"docId")
-          .select($"term", $"shard", $"docId", $"tf", $"bucket")
-          .as[(String, Int, Int, Int, Int)]
-          .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
+          .flatMap { case (id, c) =>
+            termDocsOf(id, c, stop).map(td => (td.term, packKey(td.docId, td.tf)))
+          }
+          .toDF("term", "key")
+          .repartition(cfg.numPartitions, $"term",
+            expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
+          .sortWithinPartitions($"term", $"key")
+          .as[(String, Long)]
+          .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
           .toDF(EncodedCols: _*)
           .write.mode("overwrite").partitionBy("bucket").parquet(staging)
         Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
@@ -325,7 +344,7 @@ object IndexBuild {
                 .filter(t => stop.isEmpty || !stop.contains(t.term))
                 .toSeq.groupBy(_.term).iterator.map {
                   case (term, toks) =>
-                    (term, id, toks.map(_.pos).toArray, bucketOf(term, tb))
+                    (term, id, toks.map(t => math.min(t.pos, 0xffff)).toArray, bucketOf(term, tb))
                 }
             }.toDF("term", "docId", "positions", "bucket")
             .repartition(math.max(1, cfg.numPartitions / 2), $"term")
@@ -404,6 +423,106 @@ object IndexBuild {
     }
   }
 
+  /** Precomputed prefix posting tables (reference U3: the index
+    * materializes `word_prefix_docids` for prefixes of length ≤ 4
+    * occurring often enough — index.rs:129-132, thresholds at
+    * index.rs:1711-1713 (≥100 docs, len ≤ 4), builder
+    * update/new/words_prefix_docids.rs — so search-as-you-type never
+    * expands a short prefix on the fly).
+    *
+    * Spark re-expression, three tables under `indexDir`:
+    *   prefix_dict/       (term=prefix, df=Σ member df, len) — the
+    *                      selection set; TermDict-compatible schema
+    *   prefixes/bucket=B/ merged posting blocks keyed by the prefix
+    *                      (same EncodedCols layout as postings/, so the
+    *                      query-side decode path is shared verbatim)
+    *   prefix_positions/bucket=B/  merged position arrays per
+    *                      (prefix, docId) — the reference's
+    *                      word_prefix_position_docids analogue, feeding
+    *                      proximity/attribute ranks for prefix slots
+    *
+    * Selection uses Σdf ≥ minDf (an upper bound of the reference's
+    * distinct-doc threshold — cheap from the dict alone; a prefix
+    * passing on Σdf but not on distinct docs merely materializes a
+    * slightly-smaller-than-threshold list). Lineage-committed: rerun
+    * after append/compact to refresh. One decode pass over the posting
+    * blocks + one bounded shuffle per table — never per query. */
+  def buildPrefixIndex(spark: SparkSession, indexDir: String, cfg: IndexConfig,
+                       maxLen: Int = PrefixMaxLen, minDf: Long = PrefixMinDf): Unit = {
+    import spark.implicits._
+    val tb = cfg.termBuckets
+    val dps = cfg.docsPerShard
+    Lineage.stage(spark, indexDir, "prefixes") {
+      spark.read.parquet(s"$indexDir/dict")
+        .select($"term", $"df").as[(String, Long)]
+        .flatMap { case (t, df) =>
+          (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), df))
+        }
+        .toDF("term", "df")
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .filter($"df" >= minDf)
+        .select($"term", $"df", length($"term").as("len"))
+        .write.mode("overwrite").parquet(s"$indexDir/prefix_dict")
+
+      val sel = spark.read.parquet(s"$indexDir/prefix_dict").select($"term".as("prefix"))
+
+      // merged prefix postings: decode → explode member prefixes →
+      // keep selected → re-encode through the standard (term, key)
+      // shuffle (same salt, same block layout)
+      spark.read.parquet(s"$indexDir/postings")
+        .select($"term", $"docBytes", $"tfBytes")
+        .as[(String, Array[Byte], Array[Byte])]
+        .flatMap { case (t, db, tfb) =>
+          val ids = VByte.decodeDeltas(db); val tfs = VByte.decode(tfb)
+          (1 to math.min(maxLen, t.length)).iterator.flatMap { l =>
+            val p = t.substring(0, l)
+            ids.iterator.zip(tfs.iterator).map { case (d, tf) => (p, d, tf) }
+          }
+        }
+        .toDF("prefix", "docId", "tf")
+        .join(sel, Seq("prefix"), "left_semi")
+        .groupBy($"prefix", $"docId").agg(sum($"tf").cast("int").as("tf"))
+        .select($"prefix".as("term"),
+          shiftleft($"docId".cast("long"), 32).bitwiseOR($"tf".cast("long")).as("key"))
+        .repartition(cfg.numPartitions, $"term",
+          expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
+        .sortWithinPartitions($"term", $"key")
+        .as[(String, Long)]
+        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
+        .toDF(EncodedCols: _*)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/prefixes")
+
+      // merged prefix positions (only when the index has positions)
+      val posP = new org.apache.hadoop.fs.Path(s"$indexDir/positions")
+      if (posP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posP)) {
+        spark.read.parquet(s"$indexDir/positions")
+          .select($"term", $"docId", $"positions")
+          .as[(String, Int, Array[Int])]
+          .flatMap { case (t, d, ps) =>
+            (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), d, ps))
+          }
+          .toDF("prefix", "docId", "positions")
+          .join(sel, Seq("prefix"), "left_semi")
+          .groupBy($"prefix", $"docId")
+          .agg(sort_array(array_distinct(flatten(collect_list($"positions"))))
+            .as("positions"))
+          .select($"prefix".as("term"), $"docId", $"positions")
+          .as[(String, Int, Array[Int])]
+          .map { case (t, d, ps) => (t, d, ps, bucketOf(t, tb)) }
+          .toDF("term", "docId", "positions", "bucket")
+          .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+          .sortWithinPartitions($"term", $"docId")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/prefix_positions")
+      }
+      Nil
+    }
+  }
+
+  /** Reference thresholds (index.rs:1711-1713). */
+  final val PrefixMaxLen = 4
+  final val PrefixMinDf = 100L
+
   /** Rewrite the index without tombstoned documents: rebuild through
     * the standard pipeline from the live doc store (bounded tombstone
     * model: delete() is O(batch), compact() is the amortized rewrite —
@@ -481,7 +600,7 @@ object IndexBuild {
         .as[(Int, String, String, String, String, String)]
         .map { case (id, repo, path, commit, lang, content) =>
           (id, repo, path, commit, lang, content, Sha.hex(content),
-            Tokenizer.tokenize(content).length)
+            Tokenizer.countTokens(content))
         }
         .toDF("docId", "repo", "path", "commit", "lang", "content",
           "content_sha256", "len")
@@ -531,7 +650,7 @@ object IndexBuild {
             fieldCols.map(c => col(c).cast("string").as(c)): _*)
         .withColumn("content_sha256", sha2($"content", 256))
         .withColumn("len", udf((r: org.apache.spark.sql.Row) =>
-          fieldCols.indices.map(i => Tokenizer.tokenize(r.getString(i)).length).sum
+          fieldCols.indices.map(i => Tokenizer.countTokens(r.getString(i))).sum
         ).apply(struct(fieldCols.map(col): _*)))
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       lineageOf(spark, s"$indexDir/docs", "docId")
@@ -560,13 +679,13 @@ object IndexBuild {
           org.apache.spark.sql.Row(term, id)
         }, org.apache.spark.sql.types.StructType.fromDDL("term STRING, docId INT"))
         .groupBy($"term", $"docId").agg(count(lit(1)).cast("int").as("tf"))
-        .select($"term", ($"docId" / dps).cast("int").as("shard"), $"docId",
-          $"tf", udf((t: String) => bucketOf(t, tb)).apply($"term").as("bucket"))
-        .repartition(cfg.numPartitions, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .select($"term", $"shard", $"docId", $"tf", $"bucket")
-        .as[(String, Int, Int, Int, Int)]
-        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb))
+        .select($"term",
+          shiftleft($"docId".cast("long"), 32).bitwiseOR($"tf".cast("long")).as("key"))
+        .repartition(cfg.numPartitions, $"term",
+          expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
+        .sortWithinPartitions($"term", $"key")
+        .as[(String, Long)]
+        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
         .toDF(EncodedCols: _*)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
       postingLineage(spark, s"$indexDir/postings", "postings")
@@ -601,12 +720,13 @@ object IndexBuild {
     }
   }
 
-  /** Streaming block encoder: input sorted by (term, shard, docId) within
-    * the partition; emits one PostingBlock row (plus bucket) per
-    * `blockSize` docids of each (term, shard) run. The single sanctioned
-    * imperative spot (SURVEY §4.4). */
-  def encodePartition(rows: Iterator[(String, Int, Int, Int, Int)],
-                      blockSize: Int, termBuckets: Int)
+  /** Streaming block encoder: input (term, packKey(docId, tf)) sorted by
+    * (term, key) within the partition — equivalently (term, shard,
+    * docId); emits one PostingBlock row (plus bucket) per `blockSize`
+    * docids of each (term, shard) run. The single sanctioned imperative
+    * spot (SURVEY §4.4). */
+  def encodePartition(rows: Iterator[(String, Long)],
+                      blockSize: Int, termBuckets: Int, docsPerShard: Int)
       : Iterator[(String, Int, Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Long, Int, Int)] = {
     new Iterator[(String, Int, Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Long, Int, Int)] {
       private val it = rows.buffered
@@ -615,11 +735,13 @@ object IndexBuild {
       override def hasNext: Boolean = out.hasNext || it.hasNext
       override def next() = {
         if (!out.hasNext) {
-          val (term, shard) = (it.head._1, it.head._2)
+          val term = it.head._1
+          val shard = keyDoc(it.head._2) / docsPerShard
           val docIds = new ArrayBuffer[Int](blockSize)
           val tfs = new ArrayBuffer[Int](blockSize)
-          while (it.hasNext && it.head._1 == term && it.head._2 == shard) {
-            val r = it.next(); docIds += r._3; tfs += r._4
+          while (it.hasNext && it.head._1 == term &&
+                 keyDoc(it.head._2) / docsPerShard == shard) {
+            val k = it.next()._2; docIds += keyDoc(k); tfs += keyTf(k)
           }
           val bucket = bucketOf(term, termBuckets)
           out = docIds.grouped(blockSize).zip(tfs.grouped(blockSize))

@@ -20,11 +20,17 @@ import graft.index.IndexBuild
   *   never exact
   * @param noTypo slot came from a quoted phrase: exact form only
   *   (reference: phrases are not typo-tolerant, parse_query.rs)
+  * @param prefixDerivs prefixes served by the PRECOMPUTED prefix tables
+  *   (IndexBuild.buildPrefixIndex): the slot matches the merged
+  *   docid/position lists of every term with the prefix, via ONE
+  *   pseudo-term read — never a per-term expansion (reference
+  *   word_prefix_docids, index.rs:129-132)
   */
 final case class Slot(idx: Int, original: String,
                       derivations: Seq[(String, Int)],
                       phraseDerivs: Seq[(Seq[String], Int)] = Nil,
-                      noTypo: Boolean = false)
+                      noTypo: Boolean = false,
+                      prefixDerivs: Seq[String] = Nil)
 
 /** Typo-tolerance settings (reference index settings: authorize_typos
   * index.rs:36-37, min_word_len_one_typo / min_word_len_two_typos
@@ -132,6 +138,7 @@ final class MeiliRank(engine: SearchEngine,
     val base = flagged.zipWithIndex.map { case ((w, isPhrase), i) =>
       val derivs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       val phraseDerivs = Vector.newBuilder[(Seq[String], Int)]
+      var prefixDerivs: Seq[String] = Nil
       if (known.contains(w)) derivs(w) = 0
       if (!isPhrase) {
         val budget = typo.budgetFor(w)
@@ -143,9 +150,14 @@ final class MeiliRank(engine: SearchEngine,
           } else if (ts.nonEmpty && ts.forall(known.contains))
             phraseDerivs += ((ts, 0)) // multi-word synonym, cost 0
         }
-        // prefix expansion for the last word (cost 0, reference X5)
-        if (lastIsPrefix && i == flagged.length - 1)
-          engine.prefixTerms(w).foreach(t => if (!derivs.contains(t)) derivs(t) = 0)
+        // prefix expansion for the last word (cost 0, reference X5):
+        // precomputed prefix tables when materialized (one pseudo-term
+        // read, bounded regardless of vocabulary); else an on-the-fly
+        // expansion capped at MAX_PREFIX_COUNT
+        if (lastIsPrefix && i == flagged.length - 1) {
+          if (engine.prefixIndexed(w)) prefixDerivs = Seq(w)
+          else engine.prefixTerms(w).foreach(t => if (!derivs.contains(t)) derivs(t) = 0)
+        }
         if (budget > 0) {
           engine.typoCandidates(w, budget).foreach { case (t, d) =>
             if (d > 0 && !derivs.contains(t)) {
@@ -155,10 +167,11 @@ final class MeiliRank(engine: SearchEngine,
             }
           }
         }
-        if (derivs.isEmpty)
+        if (derivs.isEmpty && prefixDerivs.isEmpty)
           splitBest(w, known.contains).foreach(p => phraseDerivs += ((List(p._1, p._2), 1)))
       }
-      Slot(i, w, derivs.toSeq, phraseDerivs.result(), noTypo = isPhrase)
+      Slot(i, w, derivs.toSeq, phraseDerivs.result(), noTypo = isPhrase,
+        prefixDerivs = prefixDerivs)
     }
     // attach ngram derivations: the merged compound covers ALL its
     // slots — cost n−1 on the leftmost, 0 on the others, never exact
@@ -212,7 +225,9 @@ final class MeiliRank(engine: SearchEngine,
     val empty = spark.range(0)
       .select($"id".cast("int").as("docId"), lit(0).as("slot"),
         lit(0).as("typoCost"), lit(0).as("exact"))
-    if (derivRows.isEmpty && slots.forall(_.phraseDerivs.isEmpty)) return empty
+    if (derivRows.isEmpty &&
+        slots.forall(s => s.phraseDerivs.isEmpty && s.prefixDerivs.isEmpty))
+      return empty
     val direct = if (derivRows.isEmpty) empty else {
       val dt = derivRows.toDF("term", "slot", "cost", "isExact")
       val terms = derivRows.map(_._1).distinct
@@ -237,20 +252,36 @@ final class MeiliRank(engine: SearchEngine,
         .select($"docId", lit(s.idx).as("slot"),
           lit(cost).as("typoCost"), lit(0).as("exact"))
     })
-    phraseDfs.foldLeft(direct)((acc, d) => acc.unionByName(d))
+    // precomputed-prefix derivations: merged docids via one pseudo-term
+    // read (cost 0, never exact — the exact form, if a dictionary word,
+    // already has its own derivation above)
+    val prefixDfs = slots.flatMap(s => s.prefixDerivs.map { p =>
+      val docs = fids match {
+        case Some(_) => engine.prefixPositionRows(p, fids).select($"docId").distinct()
+        case None => engine.prefixDocs(p).select($"docId")
+      }
+      docs.select($"docId", lit(s.idx).as("slot"),
+        lit(0).as("typoCost"), lit(0).as("exact"))
+    })
+    (phraseDfs ++ prefixDfs).foldLeft(direct)((acc, d) => acc.unionByName(d))
       .groupBy($"docId", $"slot")
       .agg(min($"typoCost").as("typoCost"), max($"exact").as("exact"))
   }
 
   /** (docId, slot, pos) exploded positions for all derivations (phrase
-    * derivations contribute the first word's positions). */
+    * derivations contribute the first word's positions; precomputed
+    * prefixes their merged position table). */
   private def slotPositions(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)) ++
       s.phraseDerivs.map(pd => (pd._1.head, s.idx)))
     val dt = derivRows.toDF("term", "slot")
-    engine.positionRows(derivRows.map(_._1).distinct, fids)
+    val direct = engine.positionRows(derivRows.map(_._1).distinct, fids)
       .join(broadcast(dt), Seq("term"))
       .select($"docId", $"slot", $"pos")
+    slots.flatMap(s => s.prefixDerivs.map(p =>
+      engine.prefixPositionRows(p, fids)
+        .select($"docId", lit(s.idx).as("slot"), $"pos")))
+      .foldLeft(direct)(_ unionByName _)
   }
 
   /** The words-rule matched universe: (slots, keep-order permutation,
@@ -263,7 +294,8 @@ final class MeiliRank(engine: SearchEngine,
       : (Seq[Slot], Array[Int], DataFrame) = {
     val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
-    if (n == 0 || slots.forall(s => s.derivations.isEmpty && s.phraseDerivs.isEmpty))
+    if (n == 0 || slots.forall(s =>
+        s.derivations.isEmpty && s.phraseDerivs.isEmpty && s.prefixDerivs.isEmpty))
       return (Nil, Array.empty,
         spark.range(0).select($"id".cast("int").as("docId"),
           lit(0).as("wordsRank"), lit(0).as("typoCost"), lit(0).as("exactWords")))
@@ -283,8 +315,9 @@ final class MeiliRank(engine: SearchEngine,
     val kposMap = typedLit(kposArr.zipWithIndex.map { case (kp, slot) => slot -> kp }.toMap)
 
     val matches0 = slotMatches(slots, searchOnFids)
-    // quoted phrases / negatives restrict the universe (docId level)
-    val (phraseDocs, negDocs) = engine.syntaxDocs(pq)
+    // quoted phrases / negatives restrict the universe (docId level),
+    // under the SAME field restriction as slot matching
+    val (phraseDocs, negDocs) = engine.syntaxDocs(pq, searchOnFids)
     val matches1 = phraseDocs.fold(matches0)(p =>
       matches0.join(p.select($"docId"), Seq("docId"), "left_semi"))
     val matches = negDocs.fold(matches1)(nd =>
@@ -378,7 +411,6 @@ final class MeiliRank(engine: SearchEngine,
     val wMax = if (fws.isEmpty) 0 else fws.values.max
     val posRank = {
       val pos = slotPositions(slots, searchOnFids)
-      val bucketUdf = udf((p: Int) => Tokenizer.bucketPosition(p & 0xffff))
       val weightCol =
         if (fws.isEmpty) lit(0)
         else coalesce(element_at(typedLit(fws),
@@ -387,7 +419,10 @@ final class MeiliRank(engine: SearchEngine,
         .agg(min($"pos").as("minPos"),
           min($"pos".bitwiseAND(lit(0xffff))).as("minRel"),
           min(weightCol).as("minW"))
-        .withColumn("posBucket", bucketUdf($"minRel"))
+        // pure CASE arithmetic (Tokenizer.bucketPositionCol): the same
+        // bucketing a scalar UDF computed before, but codegen-friendly —
+        // the cascade's hottest stage stays inside WholeStageCodegen
+        .withColumn("posBucket", Tokenizer.bucketPositionCol($"minRel"))
         .groupBy($"docId")
         .agg(map_from_entries(sort_array(collect_list(struct($"slot", $"posBucket"))))
           .as("pb"),

@@ -37,17 +37,53 @@ object Hybrid {
       .limit(k)
   }
 
+  /** Embedding rows above which the semantic arm refuses to full-scan:
+    * mirrors Similarity.MaxExactPairRows — above it every hybrid query
+    * re-reading every vector is the 100-TB anti-pattern. */
+  final val SemanticExactMaxRows: Long = 200000L
+
+  /** The semantic arm, cost-routed like `SearchEngine.search` routes to
+    * WAND: below `exactMaxRows` (or with no index built) the exact
+    * brute-force cosine is the right plan AND the oracle baseline;
+    * above it the persisted multi-probe LSH index is read instead —
+    * only the probed bucket partitions are scanned (partition pruning),
+    * with an exact fixed-point re-rank inside them, so returned scores
+    * are exact and recall is the (spec-measured) multi-probe recall. */
+  def semanticTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryVecId: Long, pool: Int,
+                   indexDir: Option[String] = None,
+                   exactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
+    val useLsh = indexDir.isDefined &&
+      (exactMaxRows <= 0 || emb.count() > exactMaxRows)
+    if (useLsh)
+      graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get, queryVecId, pool)
+        .select(col("vec_id").cast("int").as("docId"), col("score"))
+    else {
+      // loud guard against the scale anti-pattern when NO index exists:
+      // plan-statistics size estimate (no extra job), generous 512 B/row
+      if (indexDir.isEmpty && exactMaxRows > 0)
+        require(emb.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(exactMaxRows) * 512,
+          s"embedding table likely exceeds $exactMaxRows rows and no LSH " +
+            "index was given: build one with Similarity.buildLshIndex")
+      graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVecId, pool)
+        .select(col(idCol).cast("int").as("docId"), col("score"))
+    }
+  }
+
   /** End-to-end: rank `q` with the rule cascade, score embeddings by
-    * cosine against `queryVecId`'s embedding, merge at `ratio`.
-    * `emb` rows must be keyed by the same ids as the doc store. */
+    * cosine against `queryVecId`'s embedding (via [[semanticTopK]]'s
+    * cost routing), merge at `ratio`. `emb` rows must be keyed by the
+    * same ids as the doc store. */
   def search(mr: graft.rank.MeiliRank, emb: DataFrame, idCol: String,
              vecCol: String, q: String, queryVecId: Long, ratio: Double,
-             k: Int, candidatePool: Int = 1000000): DataFrame = {
+             k: Int, candidatePool: Int = 1000000,
+             semanticIndexDir: Option[String] = None,
+             semanticExactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
     val kw = mr.search(q, candidatePool)
       .select(col("docId"), col("rankingScore"))
-    val sem = graft.ops.Similarity
-      .cosineTopK(emb, idCol, vecCol, queryVecId, candidatePool)
-      .select(col(idCol).cast("int").as("docId"), col("score"))
+    val sem = semanticTopK(emb, idCol, vecCol, queryVecId,
+      candidatePool, semanticIndexDir, semanticExactMaxRows)
     merge(kw, sem, ratio, k)
   }
 }

@@ -125,24 +125,42 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
 
   /** Universe restrictions implied by query syntax: docs that contain
     * every quoted phrase (semi-join side) and docs matching any negative
-    * word/phrase (anti-join side, reference search/new/mod.rs:268-295). */
-  private[graft] def syntaxDocs(pq: graft.query.ParsedQuery)
+    * word/phrase (anti-join side, reference search/new/mod.rs:268-295).
+    * `fids` (attributesToSearchOn) restricts phrase AND negative
+    * resolution to the searched fields — every universe restriction
+    * must see the same field set the slot matching does (reference
+    * routes phrase resolution through restricted_fids too). Phrases
+    * made ENTIRELY of stop words restrict nothing. */
+  private[graft] def syntaxDocs(pq: graft.query.ParsedQuery,
+                                fids: Option[Set[Int]] = None)
       : (Option[DataFrame], Option[DataFrame]) = {
-    val pos = pq.phrases.map(ws => phrase(ws))
+    val pos = pq.phrases
+      .filter(_.exists(w => !stopWords.contains(Tokenizer.normalize(w))))
+      .map(ws => phrase(ws, fids))
       .reduceOption((a, b) => a.join(b, Seq("docId"), "left_semi"))
-    val negWordDocs =
-      if (pq.negWords.isEmpty) Nil
-      else Seq(decoded(termsOf(pq.negWords)).toDF().select($"docId"))
-    val negs = (negWordDocs ++ pq.negPhrases.map(ws => phrase(ws).select($"docId")))
-      .reduceOption(_.unionByName(_))
+    val negWordDocs = {
+      val negTerms = termsOf(pq.negWords)
+      if (negTerms.isEmpty) Nil
+      else fids match {
+        case Some(_) =>
+          Seq(positionRows(negTerms.map(_.term), fids).select($"docId").distinct())
+        case None => Seq(decoded(negTerms).toDF().select($"docId"))
+      }
+    }
+    val negPhraseDocs = pq.negPhrases
+      .filter(_.exists(w => !stopWords.contains(Tokenizer.normalize(w))))
+      .map(ws => phrase(ws, fids).select($"docId"))
+    val negs = (negWordDocs ++ negPhraseDocs).reduceOption(_.unionByName(_))
     (pos, negs.map(_.distinct()))
   }
 
   /** Posting blocks for the given terms: bucket partition pruning + term
-    * predicate pushed down to the parquet scan. */
-  def blocksFor(terms: Seq[QueryTerm]): DataFrame = {
+    * predicate pushed down to the parquet scan. `table` selects the
+    * block store ("postings", or "prefixes" for precomputed prefix
+    * blocks — same layout, same pruning). */
+  def blocksFor(terms: Seq[QueryTerm], table: String = "postings"): DataFrame = {
     val buckets = terms.map(_.bucket).distinct
-    spark.read.parquet(s"$indexDir/postings")
+    spark.read.parquet(s"$indexDir/$table")
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms.map(_.term): _*))
   }
 
@@ -151,10 +169,11 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * decode to the first N docid shards (degraded-search work budget) —
     * the predicate is pushed to the parquet block scan, so capped
     * shards are never read, let alone decoded. */
-  def decoded(terms: Seq[QueryTerm], shardCap: Option[Int] = None): Dataset[Posting] = {
+  def decoded(terms: Seq[QueryTerm], shardCap: Option[Int] = None,
+              table: String = "postings"): Dataset[Posting] = {
     val del = deletedSet
-    val blocks = shardCap.fold(blocksFor(terms))(c =>
-      blocksFor(terms).filter($"shard" < c))
+    val blocks = shardCap.fold(blocksFor(terms, table))(c =>
+      blocksFor(terms, table).filter($"shard" < c))
     blocks.select($"term", $"docBytes", $"tfBytes")
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (term, db, tb) =>
@@ -322,10 +341,11 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
         count(lit(1)).as("n"))
 
   /** Positions rows for the given terms (bucket-pruned scan of the
-    * positions table), live docs only. */
-  def positionsFor(terms: Seq[String]): DataFrame = {
+    * positions table), live docs only. `table` selects the store
+    * ("positions", or "prefix_positions" for merged prefix rows). */
+  def positionsFor(terms: Seq[String], table: String = "positions"): DataFrame = {
     val buckets = terms.map(IndexBuild.bucketOf(_, termBuckets)).distinct
-    liveOnly(spark.read.parquet(s"$indexDir/positions")
+    liveOnly(spark.read.parquet(s"$indexDir/$table")
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*)))
   }
 
@@ -333,8 +353,9 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * restricted to a field set (attributesToSearchOn — positions carry
     * fid<<16 in multi-field indexes, reference
     * search/new/mod.rs:115-170 restricted_fids). */
-  def positionRows(terms: Seq[String], fids: Option[Set[Int]] = None): DataFrame = {
-    val rows = positionsFor(terms)
+  def positionRows(terms: Seq[String], fids: Option[Set[Int]] = None,
+                   table: String = "positions"): DataFrame = {
+    val rows = positionsFor(terms, table)
       .select($"term", $"docId", explode($"positions").as("pos"))
     fids match {
       case Some(f) =>
@@ -343,13 +364,49 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     }
   }
 
+  // ---- precomputed prefix tables (IndexBuild.buildPrefixIndex) --------
+
+  /** Selection dictionary of materialized prefixes (None when the index
+    * has no prefix tables). */
+  lazy val prefixDict: Option[graft.index.TermDict] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/prefix_dict")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(new graft.index.TermDict(spark, s"$indexDir/prefix_dict"))
+    else None
+  }
+
+  /** True iff `p` has a materialized merged posting list. */
+  def prefixIndexed(p: String): Boolean = prefixDict.exists(_.contains(p))
+
+  /** (term=prefix, docId) rows of a PRECOMPUTED prefix — the union of
+    * all member terms' docids, read as ordinary posting blocks (one
+    * bounded pruned scan, regardless of how many terms share the
+    * prefix: the reference's word_prefix_docids read path). */
+  def prefixDocs(p: String): DataFrame =
+    decoded(Seq(QueryTerm(p, 0L, 0.0, IndexBuild.bucketOf(p, termBuckets))),
+      table = "prefixes").toDF().select($"term", $"docId")
+
+  /** Exploded (docId, pos) rows of a precomputed prefix (merged member
+    * positions; fid restriction as in [[positionRows]]). */
+  def prefixPositionRows(p: String, fids: Option[Set[Int]] = None): DataFrame =
+    positionRows(Seq(p), fids, table = "prefix_positions")
+
   /** Docs where the words occur as a consecutive phrase (reference
     * compute_phrase_docids, resolve_query_graph.rs:187-268 — word bitmap
-    * intersection + adjacency; here: position joins). */
+    * intersection + adjacency; here: position joins). Index-time STOP
+    * WORDS inside the phrase act as position placeholders (the
+    * reference keeps them as any-word slots, parse_query.rs:311-318):
+    * they have no position rows, so their slot contributes no
+    * constraint while the remaining words keep their original offsets —
+    * "the quick fox" with "the" stopped still matches docs where
+    * quick/fox sit two apart. A phrase of ONLY stop words matches every
+    * doc (callers skip the restriction — see syntaxDocs). */
   def phrase(words: Seq[String], fids: Option[Set[Int]] = None): DataFrame = {
     require(words.nonEmpty)
     val ws = words.map(Tokenizer.normalize)
-    val exploded = ws.zipWithIndex.map { case (w, i) =>
+    val active = ws.zipWithIndex.filterNot { case (w, _) => stopWords.contains(w) }
+    if (active.isEmpty) return docs.select($"docId")
+    val exploded = active.map { case (w, i) =>
       positionRows(Seq(w), fids).filter($"term" === w)
         .select($"docId", ($"pos" - i).as("p0"))
     }
@@ -383,11 +440,15 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     candidates(q).join(negDocs, Seq("docId"), "left_anti")
   }
 
-  /** Prefix expansion: all dictionary terms starting with `prefix`
+  /** Prefix expansion: dictionary terms starting with `prefix`
     * (reference on-the-fly word-range scan, compute_derivations.rs:45-78)
-    * — a pushed-down range load in large-dict mode. */
-  def prefixTerms(prefix: String): Seq[String] =
-    td.withPrefix(Tokenizer.normalize(prefix)).map(_._1).toSeq
+    * — a pushed-down range load in large-dict mode, capped at `cap`
+    * terms (reference MAX_PREFIX_COUNT, compute_derivations.rs:215;
+    * prefixes hot enough to overflow the cap should be served by the
+    * precomputed tables instead — see [[prefixDocs]]). */
+  def prefixTerms(prefix: String,
+                  cap: Int = SearchEngine.MaxPrefixCount): Seq[String] =
+    td.withPrefix(Tokenizer.normalize(prefix), cap).map(_._1).toSeq
 
   def prefixSearch(prefix: String): DataFrame = {
     val ts = td.withPrefix(Tokenizer.normalize(prefix)).map { case (t, df) =>
@@ -559,4 +620,8 @@ object SearchEngine {
   /** Max tombstones held as a task-local set (4M Ints ≈ 16 MB);
     * beyond it, compact. */
   final val TombstoneCap: Long = 4L << 20
+
+  /** On-the-fly prefix expansion cap (reference MAX_PREFIX_COUNT,
+    * query_term/compute_derivations.rs:215). */
+  final val MaxPrefixCount: Int = 1000
 }

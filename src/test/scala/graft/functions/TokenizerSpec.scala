@@ -93,4 +93,16 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.simpleTerms("The fast-key order! x9") ==
       Seq("the", "fast", "key", "order", "x9"))
   }
+
+  test("countTokens == tokenize(_).length (seeded fuzz incl. CJK / long words)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("fooBar_baz", "x9", ".", " ", "HTTPServer", "été", "!",
+      "snake_case", "\n", "a", "Z", "北京abc", "ひらがな", "a" * 251, "_", "v2x")
+    (1 to 300).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(30))(atoms(rnd.nextInt(atoms.size))).mkString(" ")
+      assert(Tokenizer.countTokens(text) == Tokenizer.tokenize(text).length,
+        s"countTokens diverges for '$text'")
+    }
+    assert(Tokenizer.countTokens("") == 0 && Tokenizer.countTokens(null) == 0)
+  }
 }

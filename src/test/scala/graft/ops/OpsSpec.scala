@@ -127,6 +127,33 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("hybrid semantic arm cost-routes to the LSH index (pruned scan, recall >= 0.8, exact scores)") {
+    val dir = java.nio.file.Files.createTempDirectory("hyblsh").toString
+    graft.ops.Similarity.buildLshIndex(spark, emb, "vec_id", "embedding", dir, nPlanes = 4)
+    val exact = graft.search.Hybrid
+      .semanticTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Int, Double)].collect().toSeq
+    // exactMaxRows = 0 forces the index route (simulating a table above
+    // the cap); the arm must then read ONLY probed bucket partitions
+    val viaIdx = graft.search.Hybrid.semanticTopK(emb, "vec_id", "embedding",
+      0L, 10, indexDir = Some(dir), exactMaxRows = 0L)
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"semantic arm must prune bucket partitions:\n$plan")
+    val approx = viaIdx.as[(Int, Double)].collect().toSeq
+    val recall = approx.map(_._1).count(exact.map(_._1).toSet).toDouble / exact.size
+    assert(recall >= 0.8, s"hybrid semantic recall@10 = $recall")
+    // returned scores are EXACT (re-rank inside probed partitions)
+    val exactScores = exact.toMap
+    approx.filter(p => exactScores.contains(p._1))
+      .foreach { case (id, s) => assert(math.abs(s - exactScores(id)) < 1e-9, s"id $id") }
+    // below the cap with an index present, the exact path still runs
+    // (oracle scale): identical to the no-index exact arm
+    val routedExact = graft.search.Hybrid.semanticTopK(emb, "vec_id", "embedding",
+      0L, 10, indexDir = Some(dir)).as[(Int, Double)].collect().toSeq
+    assert(routedExact == exact)
+  }
+
   test("cosine near-dup pairs: LSH banding recalls planted duplicates, never all-pairs") {
     // planted near-dups: 20 base vectors, each with a slightly-perturbed
     // twin (cosine ~0.99), plus 160 unrelated vectors

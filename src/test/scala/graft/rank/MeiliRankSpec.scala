@@ -191,4 +191,21 @@ class MeiliRankSpec extends AnyFunSuite {
       assert(ids == ids.sortBy(-_), s"within-bucket ids must be descending: $ids")
     }
   }
+
+  test("bucketPositionCol (codegen CASE) == bucketPosition (scalar) over the full range") {
+    import org.apache.spark.sql.functions.col
+    val got = spark.range(0, 70000).select(col("id").cast("int").as("p"))
+      .select(graft.functions.Tokenizer.bucketPositionCol(col("p")).as("b"))
+      .as[Int].collect()
+    (0 until 70000).foreach { p =>
+      assert(got(p) == graft.functions.Tokenizer.bucketPosition(p),
+        s"bucket mismatch at pos $p")
+    }
+    // and the cascade's hot stage carries no ScalaUDF anymore (typed
+    // flatMap adaptors print as UDFAdaptors$...; a ScalaUDF prints
+    // as `UDF(...)`)
+    val plan = new MeiliRank(engine).search("quick brown", 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("UDF("), "cascade plan must be ScalaUDF-free")
+  }
 }

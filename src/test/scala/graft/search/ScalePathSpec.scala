@@ -190,4 +190,64 @@ class ScalePathSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("term"),
       s"positions term predicate must push down:\n$plan")
   }
+
+  test("precomputed prefix tables (U3): pseudo-term read == expansion; pruned plan; capped fallback") {
+    val cfg = IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
+      numPartitions = 4, positions = true)
+    IndexBuild.buildPrefixIndex(spark, dictIdx, cfg, minDf = 5)
+    val e = new SearchEngine(spark, dictIdx)
+    assert(e.prefixIndexed("re"), "a hot 2-char prefix must be materialized")
+    // merged prefix docids == union over member terms' posting lists
+    val members = e.td.fullMap.get.keys.filter(_.startsWith("re")).toSeq
+    assert(members.size >= 2)
+    val expect = members.flatMap(t =>
+      e.decoded(e.termsOf(Seq(t))).collect().map(_.docId)).toSet
+    assert(e.prefixDocs("re").select($"docId").as[Int].collect().toSet == expect)
+    // the prefix read is ONE pruned scan of the prefixes table — bounded
+    // regardless of how many dictionary terms share the prefix
+    val plan = e.prefixDocs("re").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"prefix blocks must bucket-prune:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"prefix pseudo-term predicate must push down:\n$plan")
+    // slot analysis: one pseudo-term, NOT a per-term derivation fan-out
+    val mr = new graft.rank.MeiliRank(e)
+    val slots = mr.analyze("return re", lastIsPrefix = true)
+    assert(slots.last.prefixDerivs == Seq("re"))
+    assert(!slots.last.derivations.exists(d => d._1 != "re" && d._1.startsWith("re")),
+      "table route must not also inject per-term prefix derivations")
+    // ranked output identical to the on-the-fly expansion route (same
+    // corpus, fresh index without prefix tables)
+    val dir2 = Files.createTempDirectory("noprefix").toString
+    IndexBuild.build(spark, CorpusGen.generate(spark, 300).as[graft.corpus.SourceFile],
+      dir2, cfg)
+    val mr2 = new graft.rank.MeiliRank(new SearchEngine(spark, dir2))
+    def rows(m: graft.rank.MeiliRank) =
+      m.search("return re", 10, lastIsPrefix = true).collect()
+        .map(r => (r.getAs[Int]("docId"), r.getAs[Int]("wordsRank"),
+          r.getAs[Int]("typoCost"), r.getAs[Int]("proxCost"),
+          r.getAs[Int]("posCost"), r.getAs[Double]("rankingScore"))).toSeq
+    assert(rows(mr) == rows(mr2))
+    // on-the-fly fallback is capped (MAX_PREFIX_COUNT analogue), and the
+    // cap is honored by the dictionary loader in both modes
+    val e2 = new SearchEngine(spark, dir2)
+    assert(e2.prefixTerms("r", cap = 3).size == 3)
+    val big = new TermDict(spark, s"$dir2/dict", collectThreshold = 0)
+    assert(big.withPrefix("r", 3).toSeq ==
+      new TermDict(spark, s"$dir2/dict").withPrefix("r", 3).toSeq)
+  }
+
+  test("TermDict caches are LRU-bounded with unchanged lookup results") {
+    val td = new TermDict(spark, s"$dictIdx/dict", cacheEntries = 2)
+    val fresh = new TermDict(spark, s"$dictIdx/dict")
+    val prefixes = Seq("re", "im", "pa", "so", "re") // 4 distinct > cap, then re-hit
+    prefixes.foreach { p =>
+      assert(td.withPrefix(p).toSeq == fresh.withPrefix(p).toSeq,
+        s"evicted-and-reloaded prefix '$p' must return identical results")
+    }
+    td.lengthBand(3, 5); td.lengthBand(4, 6); td.lengthBand(5, 7)
+    assert(td.cacheSizes._1 <= 2 && td.cacheSizes._2 <= 2,
+      s"caches must stay under the cap: ${td.cacheSizes}")
+    assert(td.lengthBand(3, 5)._1.toSeq == fresh.lengthBand(3, 5)._1.toSeq)
+  }
 }
