@@ -41,6 +41,26 @@ object SparkEntry {
   private def eventsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Two-field (title weight 0, body weight 1) side index shared by the
+    * multifield and ByAttribute-proximity queries. Synthetic title:
+    * every 7th doc gets 'spark boost' (so the fid rule reorders
+    * body-only matches below title matches); `lang` (pure alpha) as the
+    * non-boost title — the shared tokenization spec breaks on
+    * digit-bearing values like 'src3'. Lineage-committed: cheap rerun. */
+  private def mfIndexDir(s: SparkSession, dir: String): String = {
+    val idxDir = s"/tmp/graft-mfidx-v1/${dirTag(dir)}"
+    val src = docsDf(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit("spark boost"))
+        .otherwise(col("lang")).as("title"),
+      col("text").as("body"), col("lang"), col("source"))
+    graft.index.IndexBuild.buildMultiField(s, src, "doc_id",
+      fields = Seq(("title", 0), ("body", 1)), langCol = "lang",
+      sourceCol = "source", indexDir = idxDir,
+      cfg = graft.index.IndexConfig(docsPerShard = 512, termBuckets = 4,
+        blockSize = 128, numPartitions = 8, positions = true))
+    idxDir
+  }
+
   /** Persisted bucket-partitioned LSH index over the sf dir's
     * embeddings, built once (the ANN scale path: queries read only
     * probed bucket partitions). Shared by q_knn_lsh and the hybrid
@@ -315,6 +335,16 @@ object SparkEntry {
         .totalHits("batch stream", conjunctive = false, filter = Some("lang = en"))
       s.createDataFrame(Seq(Tuple1(th))).toDF("total_hits")
     }),
+    // distinct-aware exhaustive count (reference applies the distinct
+    // rule before counting, search/new/mod.rs:829-842): one hit per
+    // distinct value of the attribute across the derivation-aware
+    // matched universe
+    "q_total_hits_distinct" -> ((s, dir) => {
+      val idx = new graft.api.Index(DocIndex.engine(s, dir))
+      val th = idx.totalHits(graft.api.SearchRequest(
+        q = "batch stream", distinct = Some("repo")))
+      s.createDataFrame(Seq(Tuple1(th))).toDF("total_hits")
+    }),
     // ---- stop words as an index setting (X3): dropped from dict/
     // postings/positions; surrounding positions and doc len preserved ----
     "q_stopword" -> ((s, dir) => {
@@ -331,22 +361,16 @@ object SparkEntry {
     }),
     // ---- multi-field index + fid ranking rule (R4 fid sub-rule) ---------
     "q_multifield" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-mfidx-v1/${dirTag(dir)}"
-      // synthetic title field: every 7th doc gets 'spark boost' in its
-      // title (weight 0 = most important), so the fid rule reorders
-      // body-only matches below title matches; mirrored in the oracle.
-      // `lang` (pure alpha) as the non-boost title — the shared
-      // tokenization spec breaks on digit-bearing values like 'src3'
-      val src = docsDf(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, lit("spark boost"))
-          .otherwise(col("lang")).as("title"),
-        col("text").as("body"), col("lang"), col("source"))
-      graft.index.IndexBuild.buildMultiField(s, src, "doc_id",
-        fields = Seq(("title", 0), ("body", 1)), langCol = "lang",
-        sourceCol = "source", indexDir = idxDir,
-        cfg = graft.index.IndexConfig(docsPerShard = 512, termBuckets = 4,
-          blockSize = 128, numPartitions = 8, positions = true))
-      val mr = new graft.rank.MeiliRank(new graft.search.SearchEngine(s, idxDir))
+      val mr = new graft.rank.MeiliRank(
+        new graft.search.SearchEngine(s, mfIndexDir(s, dir)))
+      meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
+    }),
+    // ---- ProximityPrecision::ByAttribute (proximity.rs:31-37): pair
+    // distance collapses to same-field (1) vs different-field (8) ------
+    "q_meili_prox_attr" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(
+        new graft.search.SearchEngine(s, mfIndexDir(s, dir)),
+        proximityPrecision = graft.rank.ProximityPrecision.ByAttribute)
       meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
     }),
     // ---- federated multi-index search (weighted score merge) -----------
@@ -470,7 +494,8 @@ object SparkEntry {
                         tokCte: String = TOK,
                         fidWeightSql: Option[String] = None,
                         maxFid: Int = 0,
-                        prefixLast: Boolean = false): String = {
+                        prefixLast: Boolean = false,
+                        proxByAttribute: Boolean = false): String = {
     val budgets = words.map(graft.search.Levenshtein.budgetFor)
     val n = words.length
     // +n: split-word and 2-gram-merge derivations cost 1 beyond the
@@ -576,7 +601,12 @@ object SparkEntry {
        |  FROM wr w WHERE w.words_rank >= $minWr),
        |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)$ppPhrase),
        |pairs AS (SELECT a.doc_id, a.slot AS s1,
-       |    least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END), 8) AS prox
+       |    least(min(${
+         if (proxByAttribute)
+           "CASE WHEN a.pos // 65536 = b.pos // 65536 THEN 1 ELSE 8 END"
+         else
+           "CASE WHEN b.pos > a.pos THEN b.pos - a.pos ELSE a.pos - b.pos + 1 END"
+       }), 8) AS prox
        |  FROM pp a JOIN pp b ON a.doc_id=b.doc_id AND b.slot = a.slot + 1 GROUP BY 1,2),
        |prox AS (SELECT b.doc_id,
        |    coalesce((SELECT sum(p.prox) FROM pairs p
@@ -628,10 +658,11 @@ object SparkEntry {
                              extraCols: String = "",
                              fidCol: Boolean = false,
                              where: String = "",
-                             prefixLast: Boolean = false): String = {
+                             prefixLast: Boolean = false,
+                             proxByAttribute: Boolean = false): String = {
     val sortMid = if (sortKeys.isEmpty) "" else sortKeys.mkString("", ", ", ", ")
     val fidOut = if (fidCol) "m.fid_cost, " else ""
-    s"""${meiliCtes(words, strategy, synonyms, splits, tokCte, fidWeightSql, maxFid, prefixLast)}
+    s"""${meiliCtes(words, strategy, synonyms, splits, tokCte, fidWeightSql, maxFid, prefixLast, proxByAttribute)}
        |SELECT m.doc_id, m.words_rank, m.typo_cost, m.prox_cost, ${fidOut}m.pos_cost,
        |  m.exact_attr, m.exact_words, m.ranking_score$extraCols
        |FROM meili m $sortJoin
@@ -962,6 +993,9 @@ object SparkEntry {
     "q_multifield" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = MfTok,
       fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
       maxFid = 2, fidCol = true),
+    "q_meili_prox_attr" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = MfTok,
+      fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
+      maxFid = 2, fidCol = true, proxByAttribute = true),
     "q_field_dist" ->
       """WITH c AS (SELECT count(*) AS n FROM documents)
         |SELECT * FROM (
@@ -977,6 +1011,12 @@ object SparkEntry {
       s"""$TOK SELECT count(DISTINCT tf.doc_id) AS total_hits
          |FROM tf JOIN documents d USING(doc_id)
          |WHERE tf.term IN ('batch', 'stream') AND d.lang = 'en'""".stripMargin,
+    "q_total_hits_distinct" ->
+      s"""${meiliCtes(Seq("batch", "stream"))}
+         |SELECT CAST(count(DISTINCT d.source)
+         |  + (CASE WHEN count(CASE WHEN d.source IS NULL THEN 1 END) > 0
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS total_hits
+         |FROM meili m JOIN documents d ON d.doc_id = m.doc_id""".stripMargin,
     "q_federation" ->
       s"""WITH ${fedBm("a", "doc_id % 2 = 0", Seq("batch", "stream"))},
          |${fedBm("b", "doc_id % 2 = 1", Seq("batch", "stream"))}
@@ -1003,8 +1043,13 @@ object SparkEntry {
       s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch'),
          |vals AS (SELECT d.source AS value, count(*) AS n FROM documents d
          |  JOIN cand USING(doc_id) GROUP BY d.source)
-         |SELECT value, n FROM vals
-         |WHERE value LIKE 'srcc1%' OR levenshtein(value, 'srcc1') <= 1
+         |SELECT value, n FROM vals v
+         |WHERE v.value LIKE 'srcc1%'
+         |   -- prefix-accepting DFA: dist(prefix, q) >= |len(prefix)-len(q)|,
+         |   -- so with budget 1 only prefix lengths 4..6 can accept
+         |   OR levenshtein(substr(v.value, 1, 4), 'srcc1') <= 1
+         |   OR levenshtein(substr(v.value, 1, 5), 'srcc1') <= 1
+         |   OR levenshtein(substr(v.value, 1, 6), 'srcc1') <= 1
          |ORDER BY n DESC, value ASC LIMIT 100""".stripMargin,
     "q_geo_radius" ->
       s"""$GeoCtes

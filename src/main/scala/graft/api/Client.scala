@@ -69,6 +69,21 @@ final class Client(spark: SparkSession, rootDir: String) {
     IndexStats(e.nDocs, e.fieldDistribution(), isIndexing(uid))
   }
 
+  /** Non-federated multi-search (reference POST /multi-search,
+    * meilisearch/src/routes/multi_search.rs WITHOUT a `federation`
+    * body): N independent (indexUid, query) pairs answered as N
+    * independent result lists in one call — no score merging, unlike
+    * [[graft.search.Federation]]. Each result is a lazy DataFrame plan;
+    * engines are opened once per distinct uid. */
+  def multiSearch(requests: Seq[(String, SearchRequest)],
+                  synonyms: Map[String, Seq[String]] = Map.empty,
+                  typo: TypoSettings = TypoSettings())
+      : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val byUid = requests.map(_._1).distinct
+      .map(uid => uid -> index(uid, synonyms, typo)).toMap
+    requests.map { case (uid, r) => uid -> byUid(uid).search(r) }
+  }
+
   /** Exchange two indexes via three directory renames (reference
     * swap_indexes — there it runs as a queued task with the same
     * exposure): NOT one atomic op — there is a brief window where `a`

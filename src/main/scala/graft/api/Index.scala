@@ -38,8 +38,10 @@ final case class SearchRequest(
   * the caller composes further or collects. */
 final class Index(val engine: SearchEngine,
                   synonyms: Map[String, Seq[String]] = Map.empty,
-                  typo: TypoSettings = TypoSettings()) {
-  private val mr = new MeiliRank(engine, synonyms, typo)
+                  typo: TypoSettings = TypoSettings(),
+                  proximityPrecision: graft.rank.ProximityPrecision =
+                    graft.rank.ProximityPrecision.ByWord) {
+  private val mr = new MeiliRank(engine, synonyms, typo, proximityPrecision)
   import engine.spark.implicits._
 
   /** field name → fid for attributesToSearchOn (multi-field indexes). */

@@ -144,4 +144,34 @@ object Dedup {
       .reduce(_ + _)
     agg.select(col("id"), sim.as("simhash"))
   }
+
+  /** Production 64-bit SimHash (Charikar '02 at full fingerprint
+    * width — the precision [[simhash16]], which stays 16-bit only to
+    * remain oracle-expressible, lacks for near-dup detection at
+    * Hamming ≤ 3). Bit j votes by bit j of the term's 64-bit md5-derived
+    * hash (two 32-bit `conv` halves — each fits a long exactly),
+    * tf-weighted. Same single map-side-combinable aggregation shape;
+    * an independent fingerprint, not a widening of simhash16. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Par.widen(df).select(col(idCol).as("id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("_d", md5(col("term")))
+      .withColumn("_h1", conv(substring(col("_d"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(col("_d"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val half = if (j < 32) col("_h1") else col("_h2")
+      sum(when(shiftrightunsigned(half, j % 32).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sim.as("simhash64"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints as a codegen'd
+    * Column (bit_count of xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

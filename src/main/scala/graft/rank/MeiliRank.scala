@@ -46,6 +46,18 @@ final case class TypoSettings(enabled: Boolean = true,
     else 2
 }
 
+/** Proximity-rule precision (reference ProximityPrecision,
+  * crates/milli/src/proximity.rs:31-37): ByWord = the full asymmetric
+  * word-pair distance; ByAttribute = the cheap mode large deployments
+  * switch on — only two distances exist, "words share an attribute"
+  * (cost 1) or not (cost 8 / MAX), computed from per-field
+  * co-occurrence alone (db_cache.rs:369-409: word1_fid ∩ word2_fid). */
+sealed trait ProximityPrecision
+object ProximityPrecision {
+  case object ByWord extends ProximityPrecision
+  case object ByAttribute extends ProximityPrecision
+}
+
 /** Term-removal strategy for the words rule (reference
   * TermsMatchingStrategy, milli/src/search/mod.rs:352; removal order
   * search/new/mod.rs:219-248). */
@@ -96,7 +108,8 @@ object TermsMatching {
   */
 final class MeiliRank(engine: SearchEngine,
                       synonyms: Map[String, Seq[String]] = Map.empty,
-                      typo: TypoSettings = TypoSettings()) {
+                      typo: TypoSettings = TypoSettings(),
+                      proximityPrecision: ProximityPrecision = ProximityPrecision.ByWord) {
   private val spark = engine.spark
   import spark.implicits._
 
@@ -384,10 +397,19 @@ final class MeiliRank(engine: SearchEngine,
       val pos = slotPositions(slots, searchOnFids)
       val a = pos.toDF("docId", "s1", "p1")
       val b = pos.toDF("docId", "s2", "p2")
+      // ByWord: the asymmetric pair distance over fid-encoded positions
+      // (cross-field pairs clamp to 8 via the cap). ByAttribute: only
+      // "same field" (1) vs "different field" (8) — the cheap setting
+      val dExpr = proximityPrecision match {
+        case ProximityPrecision.ByAttribute =>
+          when(shiftright($"p1", 16) === shiftright($"p2", 16), lit(1))
+            .otherwise(lit(8))
+        case ProximityPrecision.ByWord =>
+          when($"p2" > $"p1", $"p2" - $"p1").otherwise($"p1" - $"p2" + 1)
+      }
       val pairs = a.join(b, Seq("docId"))
         .where($"s2" === $"s1" + 1)
-        .withColumn("d",
-          when($"p2" > $"p1", $"p2" - $"p1").otherwise($"p1" - $"p2" + 1))
+        .withColumn("d", dExpr)
         .groupBy($"docId", $"s1")
         .agg(least(min($"d"), lit(8)).as("pairProx"))
         .groupBy($"docId")

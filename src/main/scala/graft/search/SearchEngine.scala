@@ -581,14 +581,18 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
       .groupBy(col(facetCol).as("value"))
       .agg(count(lit(1)).as("n"))
       .withColumn("nv", normUdf(col("value")))
-    // typo-tolerant variant: the reference runs the Levenshtein DFA over
-    // the facet FST (search/facet/search.rs:21-73); budget by query len
+    // typo-tolerant variant: the reference runs a PREFIX-accepting
+    // Levenshtein DFA over the facet FST (build_dfa(is_prefix=true),
+    // search/facet/search.rs:152-160) — a value matches when some
+    // prefix of it is within the budget of the query, so a typo'd
+    // prefix of a long facet value still hits; budget by query len
     val matched =
       if (!typoTolerant) grouped.filter(col("nv").startsWith(norm))
       else {
         val budget = Levenshtein.budgetFor(norm)
         val levUdf = udf((v: String) =>
-          v != null && (v.startsWith(norm) || Levenshtein(v, norm) <= budget))
+          v != null && (v.startsWith(norm) ||
+            Levenshtein.prefixDistance(v, norm) <= budget))
         grouped.filter(levUdf(col("nv")))
       }
     // reference OrderBy::Count (default) vs OrderBy::Lexicographic

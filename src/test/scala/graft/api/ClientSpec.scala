@@ -56,4 +56,22 @@ class ClientSpec extends AnyFunSuite {
     assert(!c.stats("movies").isIndexing)
     assert(c.danglingSwaps().isEmpty)
   }
+
+  test("multiSearch answers N independent requests as N result lists") {
+    val root = Files.createTempDirectory("graft-msearch").toString
+    val c = new Client(spark, root)
+    buildInto(c, "books", Seq((0L, "alpha beta"), (1L, "beta gamma")))
+    buildInto(c, "films", Seq((0L, "delta beta"), (1L, "epsilon")))
+    val res = c.multiSearch(Seq(
+      "books" -> SearchRequest(q = "beta"),
+      "films" -> SearchRequest(q = "beta"),
+      "books" -> SearchRequest(q = "gamma")))
+    assert(res.map(_._1) == Seq("books", "films", "books"),
+      "results come back in request order, tagged by uid")
+    val hits = res.map { case (_, df) => df.collect().map(_.getInt(0)).toSet }
+    // NO score merging across indexes — each list is independent
+    assert(hits == Seq(Set(0, 1), Set(0), Set(1)), s"$hits")
+    intercept[IllegalArgumentException](
+      c.multiSearch(Seq("missing" -> SearchRequest(q = "x"))))
+  }
 }

@@ -164,4 +164,34 @@ class IndexApiSpec extends AnyFunSuite {
     val allN = all("lang").collect().map(_.getLong(1)).sum
     assert(allN == 4, s"docs matching BOTH words: $allN") // doc 4 excluded
   }
+
+  test("totalHits under distinct counts the collapsed universe (== page walk)") {
+    val r = SearchRequest(q = "spark merge", distinct = Some("lang"), limit = 100)
+    val pageLen = idx.search(r).collect().length
+    assert(pageLen == 2, s"one doc per lang: $pageLen") // en + fr
+    assert(idx.totalHits(r) == pageLen,
+      "distinct-aware totalHits must agree with what pagination returns")
+    // without distinct the raw universe is larger
+    assert(idx.totalHits(r.copy(distinct = None)) == 5)
+  }
+
+  test("empty q is a placeholder search: all docs, filter/sort/distinct applied") {
+    val all = idx.search(SearchRequest(q = "", limit = 100)).collect()
+    assert(all.length == 5, s"placeholder must return every doc: ${all.length}")
+    val filtered = idx.search(SearchRequest(q = "", filter = Some("lang = en"),
+      limit = 100)).collect()
+    assert(filtered.length == 4)
+    val sorted = idx.search(SearchRequest(q = "  ", sort = Seq("lang:desc"),
+      limit = 100)).collect().map(_.getAs[String]("lang")).toSeq
+    assert(sorted == sorted.sortBy(identity).reverse, s"$sorted")
+    val dedup = idx.search(SearchRequest(q = "", distinct = Some("lang"),
+      limit = 100)).collect()
+    assert(dedup.length == 2)
+    assert(idx.totalHits(SearchRequest(q = "")) == 5)
+    assert(idx.totalHits(SearchRequest(q = "", distinct = Some("lang"))) == 2)
+    // facetDistributions over the placeholder universe counts all docs
+    val fd = idx.facetDistributions(SearchRequest(q = ""), Seq("lang"))("lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fd == Map("en" -> 4, "fr" -> 1), s"$fd")
+  }
 }

@@ -56,4 +56,45 @@ class DumpSpec extends AnyFunSuite {
     val pa = a.phrase(Seq("buffer", "stream")).count()
     assert(pa > 0 && pa == b.phrase(Seq("buffer", "stream")).count())
   }
+
+  test("dump after delete excludes tombstoned docs; facet columns survive") {
+    val dir = Files.createTempDirectory("dumpDel").toString
+    val dumpDir = Files.createTempDirectory("dumpDel2").toString
+    val dir2 = Files.createTempDirectory("dumpDelDst").toString
+    val corpus = (0 until 12).map(i => src(i, s"word$i shared merge")).toDS()
+    val cfg = IndexConfig(docsPerShard = 8, termBuckets = 2, blockSize = 4,
+      numPartitions = 2)
+    IndexBuild.build(spark, corpus, dir, cfg)
+    IndexBuild.buildFacetIndex(spark, dir, Seq("lang"))
+    IndexBuild.delete(spark, dir, Seq(1, 3, 5), "d1")
+    Dump.exportDump(spark, dir, dumpDir)
+    Dump.importDump(spark, dumpDir, dir2, cfg)
+    val a = new SearchEngine(spark, dir)
+    val b = new SearchEngine(spark, dir2)
+    // the import holds exactly the LIVE docs (no resurrection)
+    assert(b.docs.count() == a.docs.count() && b.docs.count() == 9)
+    // docids rank by (repo, path): id 1 = p3.scala (r0's second file)
+    val pathsA = a.docs.select($"path").as[String].collect().toSet
+    val pathsB = b.docs.select($"path").as[String].collect().toSet
+    assert(pathsB == pathsA && !pathsB.contains("p3.scala"))
+    // facet indexes rebuilt from the dump settings
+    assert(b.facetRangeCount("lang",
+      org.apache.spark.sql.functions.col("value") === "scala") == 9)
+  }
+
+  test("multi-field indexes fail fast on export (format cannot carry fields)") {
+    val dir = Files.createTempDirectory("dumpMf").toString
+    val df = Seq((0L, "t0", "b0"), (1L, "t1", "b1")).toDF("doc_id", "title", "body")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildMultiField(spark, df, "doc_id",
+      fields = Seq(("title", 0), ("body", 1)), langCol = "lang",
+      sourceCol = "source", indexDir = dir,
+      cfg = IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2))
+    val ex = intercept[IllegalArgumentException] {
+      Dump.exportDump(spark, dir, Files.createTempDirectory("dumpMfOut").toString)
+    }
+    assert(ex.getMessage.contains("multi-field"))
+  }
 }

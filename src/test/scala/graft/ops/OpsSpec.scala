@@ -127,6 +127,45 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("simhash64: exact per-bit recompute; planted near-dups at small Hamming, unrelated far") {
+    val base = (1 to 120).map(i => s"alpha$i beta$i").mkString(" ")
+    val near = base.replace("alpha5 ", "alpha5x ").replace("beta17 ", "beta17x ")
+    val far = (200 to 320).map(i => s"gamma$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.simhash64(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // exact recompute: bit j votes by bit j%32 of the md5 32-bit half
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def recompute(text: String): Long = {
+      val tf = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      (0 until 64).map { j =>
+        val s = tf.map { case (term, f) =>
+          val d = md5hex(term)
+          val half = java.lang.Long.parseLong(
+            if (j < 32) d.substring(0, 8) else d.substring(8, 16), 16)
+          if (((half >>> (j % 32)) & 1L) == 1L) f else -f
+        }.sum
+        if (s >= 0) 1L << j else 0L
+      }.reduce(_ | _)
+    }
+    Seq((1L, base), (2L, near), (3L, far)).foreach { case (id, t) =>
+      assert(got(id) == recompute(t), s"doc $id fingerprint")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(1L), got(2L)) <= 10, s"near-dup hamming ${ham(got(1L), got(2L))}")
+    assert(ham(got(1L), got(3L)) >= 16, s"unrelated hamming ${ham(got(1L), got(3L))}")
+    // the Column-level hamming agrees
+    val hcol = graft.ops.Dedup.simhash64(df, "doc_id", "text")
+      .crossJoin(graft.ops.Dedup.simhash64(df, "doc_id", "text")
+        .select(col("id").as("id2"), col("simhash64").as("s2")))
+      .where(col("id") === 1L && col("id2") === 2L)
+      .select(graft.ops.Dedup.hamming64(col("simhash64"), col("s2")))
+      .collect()(0).getInt(0)
+    assert(hcol == ham(got(1L), got(2L)))
+  }
+
   test("hybrid semantic arm cost-routes to the LSH index (pruned scan, recall >= 0.8, exact scores)") {
     val dir = java.nio.file.Files.createTempDirectory("hyblsh").toString
     graft.ops.Similarity.buildLshIndex(spark, emb, "vec_id", "embedding", dir, nPlanes = 4)

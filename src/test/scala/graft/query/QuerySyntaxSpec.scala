@@ -170,6 +170,18 @@ class QuerySyntaxSpec extends AnyFunSuite {
     val got = mr2.search("the quick brown", 10).collect()
       .map(r => r.getInt(0) -> r.getInt(3)).toMap // proxCost
     assert(got(1) == 1, s"adjacency preserved around stop word: $got")
+    // a QUOTED phrase containing a stop word must not empty the
+    // universe: the stop word is a position placeholder (reference
+    // parse_query.rs:311-318), remaining words keep their offsets
+    val ph = e.searchDF("\"the quick brown\"", 10).collect().map(_.getInt(0)).toSet
+    val phNoStop = e.searchDF("\"quick brown\"", 10).collect().map(_.getInt(0)).toSet
+    assert(ph.nonEmpty && ph == phNoStop, s"$ph vs $phNoStop")
+    // and the cascade path agrees
+    val mphe = mr2.search("\"the quick brown\"", 10).collect().map(_.getInt(0)).toSet
+    assert(mphe == ph, s"cascade phrase universe: $mphe vs $ph")
+    // an all-stop-word phrase restricts nothing
+    val withAllStop = e.searchDF("quick \"the over\"", 10).collect().map(_.getInt(0)).toSet
+    assert(withAllStop == b, s"$withAllStop vs $b")
   }
 
   test("hybrid merge: ratio endpoints and weighted max ordering") {

@@ -86,4 +86,26 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(titleOnly.headOption.contains(0) && !titleOnly.contains(1),
       s"body-only doc 1 must not appear: $titleOnly")
   }
+
+  test("ProximityPrecision::ByAttribute: pair cost is same-field(1) or not(8)") {
+    val mrAttr = new MeiliRank(engine,
+      proximityPrecision = ProximityPrecision.ByAttribute)
+    def prox(m: MeiliRank, q: String): Map[Int, Int] =
+      m.search(q, 10).collect()
+        .map(r => r.getAs[Int]("docId") -> r.getAs[Int]("proxCost")).toMap
+    // 'gardens tools': doc 0 has 'gardens'@4 and 'tools'@6 in the body
+    // (ByWord prox 2) — same field, so ByAttribute gives 1
+    val byWord = prox(mr, "gardens tools")
+    val byAttr = prox(mrAttr, "gardens tools")
+    assert(byWord(0) == 2, s"byWord: $byWord")
+    assert(byAttr(0) == 1, s"byAttr same-field pair must cost 1: $byAttr")
+    // 'pasta story': doc 0 has 'pasta' only in the TITLE and 'story'
+    // only in the body — different fields: cost 8 in BOTH modes (ByWord
+    // clamps the >=1<<16 distance to the cap)
+    val w2 = prox(mr, "pasta story")
+    val a2 = prox(mrAttr, "pasta story")
+    assert(w2(0) == 8 && a2(0) == 8, s"cross-field: $w2 / $a2")
+    // ranked output still well-formed and universe identical
+    assert(byAttr.keySet == byWord.keySet)
+  }
 }

@@ -49,4 +49,38 @@ class FederationSpec extends AnyFunSuite {
       assert(math.abs(r._3 - own * 0.5) < 1e-9)
     }
   }
+
+  test("normalized federation: scores comparable across indexes with different statistics") {
+    val cfg = IndexConfig(docsPerShard = 64, termBuckets = 2, blockSize = 16,
+      numPartitions = 2, positions = true)
+    // the SAME document inside two very different corpora (60 vs 6 docs)
+    def corpusWith(n: Int, seed: Long) = {
+      import graft.corpus.SourceFile
+      (CorpusGen.generate(spark, n, seed = seed).as[SourceFile].collect().toSeq :+
+        SourceFile("rX", "zz_pinned.scala", "c0", "scala",
+          "merge buffer exact pinned line")).toDS()
+    }
+    val big = Files.createTempDirectory("fedBig").toString
+    val small = Files.createTempDirectory("fedSmall").toString
+    IndexBuild.build(spark, corpusWith(60, 1L), big, cfg)
+    IndexBuild.build(spark, corpusWith(6, 2L), small, cfg)
+    val eBig = new SearchEngine(spark, big)
+    val eSmall = new SearchEngine(spark, small)
+    val fed = Federation.searchNormalized(
+      Seq(("big", eBig, 1.0), ("small", eSmall, 1.0)), "merge buffer", 100)
+      .as[(String, Int, Double)].collect().toSeq
+    // rankingScore ∈ (0,1]: weighted scores bounded by the weight
+    assert(fed.nonEmpty && fed.forall(r => r._3 > 0 && r._3 <= 1.0))
+    // the pinned doc has the same match pattern in both corpora: its
+    // normalized score is IDENTICAL despite 10x different statistics
+    // (raw-BM25 federation would diverge — idf/avgdl differ)
+    val pinnedBig = eBig.docs.where($"path" === "zz_pinned.scala")
+      .select($"docId").as[Int].head()
+    val pinnedSmall = eSmall.docs.where($"path" === "zz_pinned.scala")
+      .select($"docId").as[Int].head()
+    val sBig = fed.find(r => r._1 == "big" && r._2 == pinnedBig).map(_._3)
+    val sSmall = fed.find(r => r._1 == "small" && r._2 == pinnedSmall).map(_._3)
+    assert(sBig.isDefined && sBig == sSmall,
+      s"normalized scores must agree: $sBig vs $sSmall")
+  }
 }

@@ -107,6 +107,36 @@ class SearchFeaturesSpec extends AnyFunSuite {
     assert(lex.map(_._1) == lex.map(_._1).sorted)
   }
 
+  test("facet search typo DFA is PREFIX-accepting (diacritic + prefix + typo compose)") {
+    val dir = Files.createTempDirectory("facetdfa").toString
+    val docs = Seq(
+      (0L, "alpha town", "Café de la Paix"), (1L, "alpha city", "Café Central"),
+      (2L, "alpha spot", "Cofe Corner"), (3L, "alpha misc", "Tea House"))
+      .toDF("doc_id", "text", "place")
+    IndexBuild.buildFromTable(spark,
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", docs("place")),
+      "doc_id", "text", "lang", "source", dir,
+      IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true))
+    val e = new SearchEngine(spark, dir)
+    // query 'cafes' (len 5 -> budget 1): 'Café de la Paix' normalizes to
+    // 'cafe de la paix' — whole-value distance is huge, but the PREFIX
+    // 'cafe' is 1 edit from 'cafes' -> matches (reference
+    // build_dfa(is_prefix=true), search/facet/search.rs:152-160).
+    // 'Cofe Corner' needs 2 edits (o->a plus the s) — out of budget.
+    val got = e.facetSearch("alpha", "repo", "cafes", typoTolerant = true)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(got == Set("Café de la Paix", "Café Central"), s"$got")
+    // and at budget 2 ('cafesx', len 6 -> still 1; use a 9-char query
+    // for budget 2) the 2-edit prefix is reachable
+    assert(Levenshtein.prefixDistance("cofe corner", "cafes") == 2)
+    // prefixDistance unit behavior
+    assert(Levenshtein.prefixDistance("cafe de la paix", "cafes") == 1)
+    assert(Levenshtein.prefixDistance("tea house", "cafes") > 2)
+    assert(Levenshtein.prefixDistance("anything", "") == 0)
+  }
+
   test("synonyms expand query-side at zero typo cost, non-exact") {
     val dir = Files.createTempDirectory("syn").toString
     val docs = Seq((0L, "the quick fox"), (1L, "the fast fox"), (2L, "a dog"))
