@@ -124,7 +124,7 @@ final class Index(val engine: SearchEngine,
     // startsWith instead (the Highlighter's prefix arm)
     val prefixes = slots.flatMap(_.prefixDerivs).toSet
     val phrases: Seq[Seq[String]] =
-      graft.query.QueryParser.parse(r.q).phrases ++
+      engine.parseQuery(r.q).phrases ++
         slots.flatMap(_.phraseDerivs.map(_._1))
     // crop windows over bag words AND phrase member words — a pure
     // quoted-phrase query must still center its crop on the match site

@@ -44,8 +44,47 @@ object Tokenizer extends Serializable {
 
   private final val HardSeps = ".;,!?(){}[]\n".toSet
 
+  /** Tokenizer settings surface (reference index settings
+    * separatorTokens / nonSeparatorTokens / dictionary,
+    * update/new/extract/searchable/tokenize_document.rs:163-180 and
+    * charabia's segmenter options) — the documented single-character
+    * subset of charabia's string-token variants:
+    *
+    * @param separatorTokens chars DEMOTED to (soft) separators even
+    *   though the default tokenizer treats them as word characters
+    *   (e.g. '_' to split snake_case at the separator level)
+    * @param nonSeparatorTokens chars PROMOTED to word characters even
+    *   though they separate by default (e.g. '-' so "foo-bar" is one
+    *   word, '+' so "c++" survives)
+    * @param dictionary raw words exempt from subtoken splitting
+    *   (matched case-insensitively against the raw word): "ActionScript"
+    *   stays one token instead of action|script
+    *
+    * An index persists its settings (IndexConfig.tokenizer); the query
+    * side loads them from the index, so both ends agree by
+    * construction (same contract as stop words). */
+  final case class TokSettings(
+      separatorTokens: Set[Char] = Set.empty,
+      nonSeparatorTokens: Set[Char] = Set.empty,
+      dictionary: Set[String] = Set.empty) {
+    val isDefault: Boolean =
+      separatorTokens.isEmpty && nonSeparatorTokens.isEmpty && dictionary.isEmpty
+    private[Tokenizer] val dictLower: Set[String] =
+      dictionary.map(_.toLowerCase(java.util.Locale.ROOT))
+    def inDictionary(raw: String): Boolean =
+      dictionary.nonEmpty &&
+        dictLower.contains(raw.toLowerCase(java.util.Locale.ROOT))
+  }
+  object TokSettings { val Default: TokSettings = TokSettings() }
+
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
+
+  /** The settings-aware word-character predicate (shared with
+    * QueryParser so query segmentation matches the index). */
+  @inline def isWordChar(c: Char, s: TokSettings): Boolean =
+    if (s.separatorTokens.contains(c)) false
+    else isWordChar(c) || s.nonSeparatorTokens.contains(c)
 
   /** Normalize one word: lowercase, NFKD, strip combining marks. */
   def normalize(s: String): String = {
@@ -156,13 +195,18 @@ object Tokenizer extends Serializable {
     else math.min(47, 37 + (pos - 1024) / 1024)
 
   /** Tokenize one field. Returns tokens with absolute positions. */
-  def tokenize(text: String): Seq[Token] =
-    tokenizeWithOffsets(text).map(t => Token(t.term, t.pos))
+  def tokenize(text: String): Seq[Token] = tokenize(text, TokSettings.Default)
+
+  def tokenize(text: String, s: TokSettings): Seq[Token] =
+    tokenizeWithOffsets(text, s).map(t => Token(t.term, t.pos))
 
   /** Tokenize keeping char offsets of each subtoken in the original
     * text (highlighting needs them; position semantics identical to
     * [[tokenize]]). */
-  def tokenizeWithOffsets(text: String): Seq[OffsetToken] = {
+  def tokenizeWithOffsets(text: String): Seq[OffsetToken] =
+    tokenizeWithOffsets(text, TokSettings.Default)
+
+  def tokenizeWithOffsets(text: String, s: TokSettings): Seq[OffsetToken] = {
     if (text == null || text.isEmpty) return Nil
     val out = new ArrayBuffer[OffsetToken](math.min(64, text.length / 4 + 1))
     var pos = -1          // next token gets pos+inc
@@ -171,11 +215,12 @@ object Tokenizer extends Serializable {
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
-      if (isWordChar(c)) {
+      if (isWordChar(c, s)) {
         val start = i
-        while (i < n && isWordChar(text.charAt(i))) i += 1
+        while (i < n && isWordChar(text.charAt(i), s)) i += 1
         val raw = text.substring(start, i)
-        val subs = subtokensWithOffsets(raw)
+        val subs =
+          if (s.inDictionary(raw)) Seq((raw, 0)) else subtokensWithOffsets(raw)
         var j = 0
         while (j < subs.length) {
           val (sub, off) = subs(j)
@@ -212,21 +257,28 @@ object Tokenizer extends Serializable {
   /** Tokenize and keep only terms (for df/tf paths). */
   def terms(text: String): Seq[String] = tokenize(text).map(_.term)
 
+  def terms(text: String, s: TokSettings): Seq[String] =
+    tokenize(text, s).map(_.term)
+
   /** Count of tokens [[tokenize]] would emit, without materializing
     * them — the doc-length (`len`) pass runs this once per document, so
     * skipping the Token/offset allocations is a measurable slice of the
     * index build. Equality with `tokenize(text).length` is spec-fuzzed
     * (TokenizerSpec). */
-  def countTokens(text: String): Int = {
+  def countTokens(text: String): Int = countTokens(text, TokSettings.Default)
+
+  def countTokens(text: String, s: TokSettings): Int = {
     if (text == null || text.isEmpty) return 0
     var cnt = 0
     var i = 0
     val n = text.length
     while (i < n) {
-      if (isWordChar(text.charAt(i))) {
+      if (isWordChar(text.charAt(i), s)) {
         val start = i
-        while (i < n && isWordChar(text.charAt(i))) i += 1
-        subtokens(text.substring(start, i)).foreach { sub =>
+        while (i < n && isWordChar(text.charAt(i), s)) i += 1
+        val raw = text.substring(start, i)
+        val subs = if (s.inDictionary(raw)) Seq(raw) else subtokens(raw)
+        subs.foreach { sub =>
           val norm = normalize(sub)
           if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength)
             cnt += 1

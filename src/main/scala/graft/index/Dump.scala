@@ -62,10 +62,24 @@ object Dump {
       if (fs.exists(fp)) fs.listStatus(fp).map(_.getPath.getName).toSeq.sorted
       else Nil
     }
+    // tokenizer settings travel with the dump (segmentation must match
+    // on rebuild or indexed terms change)
+    val (seps, nonSeps, tokDict): (Seq[String], Seq[String], Seq[String]) = {
+      val tp = new Path(s"$indexDir/tokenizer")
+      if (!fs.exists(tp)) (Nil, Nil, Nil)
+      else {
+        val r = spark.read.parquet(s"$indexDir/tokenizer").collect()(0)
+        (r.getAs[scala.collection.Seq[String]]("separators").toSeq,
+          r.getAs[scala.collection.Seq[String]]("nonSeparators").toSeq,
+          r.getAs[scala.collection.Seq[String]]("dictionary").toSeq)
+      }
+    }
     Seq((stats("docsPerShard").toInt, stats("termBuckets").toInt,
-        stats("blockSize").toInt, positions, stop, facetCols))
+        stats("blockSize").toInt, positions, stop, facetCols,
+        seps, nonSeps, tokDict))
       .toDF("docsPerShard", "termBuckets", "blockSize", "positions",
-        "stopWords", "facetColumns")
+        "stopWords", "facetColumns", "separatorTokens", "nonSeparatorTokens",
+        "tokenizerDictionary")
       .repartition(1).write.mode("overwrite").json(s"$dumpDir/settings")
   }
 
@@ -76,12 +90,19 @@ object Dump {
                  cfg: IndexConfig = IndexConfig()): Unit = {
     import spark.implicits._
     val st = spark.read.json(s"$dumpDir/settings").collect()(0)
+    def strSeq(f: String): Seq[String] =
+      if (!st.schema.fieldNames.contains(f)) Nil
+      else Option(st.getAs[scala.collection.Seq[String]](f)).fold(Seq.empty[String])(_.toSeq)
     val restored = cfg.copy(
       docsPerShard = st.getAs[Long]("docsPerShard").toInt,
       termBuckets = st.getAs[Long]("termBuckets").toInt,
       blockSize = st.getAs[Long]("blockSize").toInt,
       positions = st.getAs[Boolean]("positions"),
-      stopWords = st.getAs[scala.collection.Seq[String]]("stopWords").toSet)
+      stopWords = st.getAs[scala.collection.Seq[String]]("stopWords").toSet,
+      tokenizer = graft.functions.Tokenizer.TokSettings(
+        strSeq("separatorTokens").map(_.charAt(0)).toSet,
+        strSeq("nonSeparatorTokens").map(_.charAt(0)).toSet,
+        strSeq("tokenizerDictionary").toSet))
     val docs = spark.read.json(s"$dumpDir/documents")
       .select($"repo".cast("string"), $"path".cast("string"),
         $"commit".cast("string"), $"lang".cast("string"),

@@ -39,7 +39,8 @@ final case class IndexConfig(
     numPartitions: Int = 32,
     bucketWaves: Boolean = false,
     positions: Boolean = false,
-    stopWords: Set[String] = Set.empty)
+    stopWords: Set[String] = Set.empty,
+    tokenizer: Tokenizer.TokSettings = Tokenizer.TokSettings.Default)
 
 /** Inverted-index builder: the Spark-first re-expression of the
   * reference's document-indexing pipeline (reference:
@@ -92,8 +93,10 @@ object IndexBuild {
     * Stop words are skipped but still advanced positions (tokenize
     * already assigned them). */
   def termDocsOf(docId: Int, content: String,
-                 stop: Set[String] = Set.empty): Iterator[TermDoc] = {
-    val toks = Tokenizer.tokenize(content)
+                 stop: Set[String] = Set.empty,
+                 tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default)
+      : Iterator[TermDoc] = {
+    val toks = Tokenizer.tokenize(content, tok)
     val m = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
     toks.foreach { t =>
       if (stop.isEmpty || !stop.contains(t.term)) {
@@ -107,6 +110,7 @@ object IndexBuild {
   def build(spark: SparkSession, corpus: Dataset[SourceFile], indexDir: String,
             cfg: IndexConfig = IndexConfig()): Unit = {
     import spark.implicits._
+    val tok = cfg.tokenizer
 
     // ---- stage: docs = docid assignment + doc store in one shuffle ----
     // Dense docids by global (repo, path, commit) rank: range-shuffle +
@@ -141,7 +145,7 @@ object IndexBuild {
             require(id <= Int.MaxValue,
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
-            val len = Tokenizer.countTokens(f.content)
+            val len = Tokenizer.countTokens(f.content, tok)
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content), len)
             id += 1
@@ -171,7 +175,7 @@ object IndexBuild {
     def termDocKeys: Dataset[(String, Long)] = docsDf.select($"docId", $"content")
       .as[(Int, String)]
       .flatMap { case (id, c) =>
-        termDocsOf(id, c, stop).map(td => (td.term, packKey(td.docId, td.tf)))
+        termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
       }
     def encoded(ds: Dataset[(String, Long)]): DataFrame = ds
       .toDF("term", "key")
@@ -236,7 +240,7 @@ object IndexBuild {
       Lineage.stage(spark, indexDir, "positions") {
         docsDf.select($"docId", $"content").as[(Int, String)]
           .flatMap { case (id, c) =>
-            Tokenizer.tokenize(c).iterator
+            Tokenizer.tokenize(c, tok).iterator
               .filter(t => stop.isEmpty || !stop.contains(t.term))
               .toSeq.groupBy(_.term).iterator.map {
                 case (term, toks) =>
@@ -265,6 +269,7 @@ object IndexBuild {
   def append(spark: SparkSession, delta: Dataset[SourceFile], indexDir: String,
              cfg: IndexConfig, batchId: String): Unit = {
     import spark.implicits._
+    val tok = cfg.tokenizer
 
     Lineage.stage(spark, indexDir, s"docs_delta_$batchId") {
       // base read INSIDE the stage: on resume the stage is skipped, so a
@@ -292,7 +297,7 @@ object IndexBuild {
                 "index and merge via search.Federation")
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
               f.commit, f.lang, f.content, Sha.hex(f.content),
-              Tokenizer.countTokens(f.content))
+              Tokenizer.countTokens(f.content, tok))
             id += 1
             r
           }
@@ -325,7 +330,7 @@ object IndexBuild {
         val staging = s"$indexDir/_stage_postings_$batchId"
         deltaDocs.select($"docId", $"content").as[(Int, String)]
           .flatMap { case (id, c) =>
-            termDocsOf(id, c, stop).map(td => (td.term, packKey(td.docId, td.tf)))
+            termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
           }
           .toDF("term", "key")
           .repartition(cfg.numPartitions, $"term",
@@ -340,7 +345,7 @@ object IndexBuild {
           val pstaging = s"$indexDir/_stage_positions_$batchId"
           deltaDocs.select($"docId", $"content").as[(Int, String)]
             .flatMap { case (id, c) =>
-              Tokenizer.tokenize(c).iterator
+              Tokenizer.tokenize(c, tok).iterator
                 .filter(t => stop.isEmpty || !stop.contains(t.term))
                 .toSeq.groupBy(_.term).iterator.map {
                   case (term, toks) =>
@@ -565,6 +570,17 @@ object IndexBuild {
       ("blockSize", cfg.blockSize.toDouble))
       .toDF("key", "value")
       .repartition(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    // persist the tokenizer settings (same contract as stop words: the
+    // query side loads them from the index, so both ends segment
+    // identically by construction)
+    if (!cfg.tokenizer.isDefault) {
+      val t = cfg.tokenizer
+      Seq((t.separatorTokens.toSeq.map(_.toString).sorted,
+          t.nonSeparatorTokens.toSeq.map(_.toString).sorted,
+          t.dictionary.toSeq.sorted))
+        .toDF("separators", "nonSeparators", "dictionary")
+        .repartition(1).write.mode("overwrite").parquet(s"$indexDir/tokenizer")
+    }
   }
 
   /** Update-merge ingest (reference S1 replace vs update semantics,
@@ -600,7 +616,7 @@ object IndexBuild {
         .as[(Int, String, String, String, String, String)]
         .map { case (id, repo, path, commit, lang, content) =>
           (id, repo, path, commit, lang, content, Sha.hex(content),
-            Tokenizer.countTokens(content))
+            Tokenizer.countTokens(content, cfg.tokenizer))
         }
         .toDF("docId", "repo", "path", "commit", "lang", "content",
           "content_sha256", "len")
@@ -650,7 +666,7 @@ object IndexBuild {
             fieldCols.map(c => col(c).cast("string").as(c)): _*)
         .withColumn("content_sha256", sha2($"content", 256))
         .withColumn("len", udf((r: org.apache.spark.sql.Row) =>
-          fieldCols.indices.map(i => Tokenizer.countTokens(r.getString(i))).sum
+          fieldCols.indices.map(i => Tokenizer.countTokens(r.getString(i), cfg.tokenizer)).sum
         ).apply(struct(fieldCols.map(col): _*)))
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       lineageOf(spark, s"$indexDir/docs", "docId")
@@ -659,6 +675,7 @@ object IndexBuild {
     val dps = cfg.docsPerShard
     val tb = cfg.termBuckets
     val stop = cfg.stopWords
+    val tok = cfg.tokenizer
     val nf = fieldCols.size
 
     // tokenize each field with fid-encoded positions (variable arity →
@@ -668,7 +685,7 @@ object IndexBuild {
         val id = r.getInt(0)
         (0 until nf).iterator.flatMap { fid =>
           val text = r.getString(1 + fid)
-          Tokenizer.tokenize(text).iterator
+          Tokenizer.tokenize(text, tok).iterator
             .filter(t => stop.isEmpty || !stop.contains(t.term))
             .map(t => (t.term, id, (fid << 16) | math.min(t.pos, 0xffff)))
         }

@@ -33,8 +33,11 @@ object QueryParser {
     * `"readBuffer flush"` is the 3-term phrase read|buffer|flush. An
     * unterminated quote runs to the end of the string (reference
     * behavior). A single-word quoted segment is an exact bag word —
-    * kept as a 1-term phrase here so it still bypasses typo expansion. */
-  def parse(q: String): ParsedQuery = {
+    * kept as a 1-term phrase here so it still bypasses typo expansion.
+    * `tok` = the INDEX's tokenizer settings (SearchEngine.parseQuery
+    * supplies them): query segmentation must match index segmentation. */
+  def parse(q: String,
+            tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default): ParsedQuery = {
     val pos = Vector.newBuilder[PosToken]
     val negWords = Vector.newBuilder[String]
     val negPhrases = Vector.newBuilder[Seq[String]]
@@ -43,19 +46,20 @@ object QueryParser {
     var neg = false
     while (i < n) {
       val c = q.charAt(i)
-      if (c == '-' && (i == 0 || !Character.isLetterOrDigit(q.charAt(i - 1)))) {
+      if (c == '-' && !Tokenizer.isWordChar('-', tok) &&
+          (i == 0 || !Tokenizer.isWordChar(q.charAt(i - 1), tok))) {
         neg = true; i += 1
       } else if (c == '"') {
         val end0 = q.indexOf('"', i + 1)
         val end = if (end0 < 0) n else end0
-        val ts = Tokenizer.terms(q.substring(i + 1, end))
+        val ts = Tokenizer.terms(q.substring(i + 1, end), tok)
         if (ts.nonEmpty) { if (neg) negPhrases += ts else pos += PosToken(ts, phrase = true) }
         neg = false
         i = end + 1
-      } else if (Character.isLetterOrDigit(c) || c == '_') {
+      } else if (Tokenizer.isWordChar(c, tok)) {
         val start = i
-        while (i < n && (Character.isLetterOrDigit(q.charAt(i)) || q.charAt(i) == '_')) i += 1
-        val ts = Tokenizer.terms(q.substring(start, i))
+        while (i < n && Tokenizer.isWordChar(q.charAt(i), tok)) i += 1
+        val ts = Tokenizer.terms(q.substring(start, i), tok)
         if (ts.nonEmpty) {
           if (neg) negWords ++= ts else pos += PosToken(ts, phrase = false)
         }

@@ -114,7 +114,7 @@ final class MeiliRank(engine: SearchEngine,
   import spark.implicits._
 
   def analyze(q: String, lastIsPrefix: Boolean = false): Seq[Slot] =
-    analyzeParsed(QueryParser.parse(q), lastIsPrefix)
+    analyzeParsed(engine.parseQuery(q), lastIsPrefix)
 
   /** Analyze a parsed query into slots with typo-budgeted derivations.
     * ONE batched dictionary lookup covers every membership test (words,
@@ -130,7 +130,7 @@ final class MeiliRank(engine: SearchEngine,
         .filterNot { case (w, _) => engine.stopWords.contains(w) }
     val words = flagged.map(_._1)
     val synExp = words.flatMap(w =>
-      synonyms.getOrElse(w, Nil).flatMap(Tokenizer.terms))
+      synonyms.getOrElse(w, Nil).flatMap(Tokenizer.terms(_, engine.tokSettings)))
     val splitParts = flagged.flatMap { case (w, ph) =>
       if (ph) Nil
       else (1 until w.length).flatMap(i => Seq(w.substring(0, i), w.substring(i)))
@@ -156,7 +156,7 @@ final class MeiliRank(engine: SearchEngine,
       if (!isPhrase) {
         val budget = typo.budgetFor(w)
         synonyms.getOrElse(w, Nil).foreach { s =>
-          val ts = Tokenizer.terms(s)
+          val ts = Tokenizer.terms(s, engine.tokSettings)
           if (ts.size == 1) {
             if (known.contains(ts.head) && !derivs.contains(ts.head))
               derivs(ts.head) = 0
@@ -367,7 +367,7 @@ final class MeiliRank(engine: SearchEngine,
                   strategy: TermsMatching = TermsMatching.Last,
                   searchOnFids: Option[Set[Int]] = None,
                   lastIsPrefix: Boolean = false): DataFrame =
-    matchedInternal(QueryParser.parse(q), lastIsPrefix, strategy, searchOnFids)
+    matchedInternal(engine.parseQuery(q), lastIsPrefix, strategy, searchOnFids)
       ._3.select($"docId")
 
   /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
@@ -383,7 +383,7 @@ final class MeiliRank(engine: SearchEngine,
              scoreThreshold: Option[Double] = None,
              searchOnFids: Option[Set[Int]] = None,
              rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
-    val pq = QueryParser.parse(q)
+    val pq = engine.parseQuery(q)
     val (slots, kposArr, perDoc) =
       matchedInternal(pq, lastIsPrefix, strategy, searchOnFids)
     val n = slots.length

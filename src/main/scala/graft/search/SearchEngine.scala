@@ -63,6 +63,26 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     else Set.empty
   }
 
+  /** Index-time tokenizer settings (IndexConfig.tokenizer, persisted by
+    * the build): the query side MUST segment with the same settings or
+    * query terms would not match indexed terms. */
+  val tokSettings: Tokenizer.TokSettings = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tokenizer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Tokenizer.TokSettings.Default
+    else {
+      val r = spark.read.parquet(s"$indexDir/tokenizer").collect()(0)
+      def chars(f: String): Set[Char] =
+        r.getAs[scala.collection.Seq[String]](f).map(_.charAt(0)).toSet
+      Tokenizer.TokSettings(chars("separators"), chars("nonSeparators"),
+        r.getAs[scala.collection.Seq[String]]("dictionary").toSet)
+    }
+  }
+
+  /** Parse a query string under this index's tokenizer settings. */
+  def parseQuery(q: String): graft.query.ParsedQuery =
+    graft.query.QueryParser.parse(q, tokSettings)
+
   /** fid → weight for multi-field indexes (IndexBuild.buildMultiField);
     * empty for single-field. Lower weight = more important field
     * (reference fieldids_weights_map). */
@@ -121,7 +141,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * the query string (reference parse_query.rs:25-192); all positive
     * terms (bag + phrase words) participate in ranking. */
   def analyze(q: String): Seq[QueryTerm] =
-    termsOf(graft.query.QueryParser.parse(q).positiveTerms)
+    termsOf(parseQuery(q).positiveTerms)
 
   /** Universe restrictions implied by query syntax: docs that contain
     * every quoted phrase (semi-join side) and docs matching any negative
@@ -191,7 +211,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   def searchDF(q: String, k: Int, conjunctive: Boolean = true,
                candidates: Option[DataFrame] = None,
                shardCap: Option[Int] = None): DataFrame = {
-    val pq = graft.query.QueryParser.parse(q)
+    val pq = parseQuery(q)
     val terms = termsOf(pq.positiveTerms)
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
     val idfDf = terms.map(t => (t.term, t.idf)).toDF("term", "idf")
@@ -262,7 +282,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * everything else takes the declarative plan. Both plans are
     * rank-identical (cross-checked in specs). */
   def search(q: String, k: Int, conjunctive: Boolean = true): DataFrame = {
-    val pq = graft.query.QueryParser.parse(q)
+    val pq = parseQuery(q)
     if (pq.isPlain && termsOf(pq.positiveTerms).map(_.df).sum > broadcastDfCap)
       searchWand(q, k, conjunctive)
     else searchDF(q, k, conjunctive)
@@ -274,7 +294,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * (per-shard pruning cannot see cross-shard universe restrictions
     * without losing top-k exactness). */
   def searchWand(q: String, k: Int, conjunctive: Boolean = true): DataFrame = {
-    val pq = graft.query.QueryParser.parse(q)
+    val pq = parseQuery(q)
     if (!pq.isPlain) return searchDF(q, k, conjunctive)
     val terms = analyze(q)
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
@@ -303,7 +323,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   /** Universe of docids matching the query (no ranking): the
     * "resolve_universe" step of the reference (search/new/mod.rs:781). */
   def candidates(q: String, conjunctive: Boolean = true): DataFrame = {
-    val pq = graft.query.QueryParser.parse(q)
+    val pq = parseQuery(q)
     val terms = termsOf(pq.positiveTerms)
     if (terms.isEmpty) return spark.range(0).select($"id".cast("int").as("docId"))
     val agg = decoded(terms).toDF().groupBy($"docId")
