@@ -268,6 +268,33 @@ object Bench {
         budgetSec * 0.55, target, initLow = wallLow, initHigh = wallHigh)
       wallLow = l2; wallHigh = h2
     }
+    // ---- scaling window C (recovery): if BOTH windows failed AND the
+    // bandwidth probe says the host is still in a DRAM-pressure window
+    // (observed lasting 45+ min — capable of covering A and B), wait
+    // bounded for recovery and spend one more window. 3000 MB/s is a
+    // host-calibrated quiet floor (quiet probes read ~5000; degraded
+    // ~900): with it the reference survives a run whose every probe was
+    // degraded (bestBw alone would then call the degraded state
+    // "recovered"). No recovery => no extra builds — degraded samples
+    // are junk that best-of merely ignores, but they cost wall time.
+    if (!skipScaling && gateEff < 0.8) {
+      val bwRef = math.max(bestBw, 3000.0)
+      val t0 = System.nanoTime()
+      def bwOk() = memBandwidth() >= 0.7 * bwRef
+      var ok = bwOk()
+      while (!ok && (System.nanoTime() - t0) / 1e9 < 600) {
+        System.err.println(f"[bench] window C waiting for bandwidth recovery " +
+          f"(bw ${bestBw}%.0f-ref $bwRef%.0f MB/s)")
+        Thread.sleep(30000)
+        ok = bwOk()
+      }
+      if (ok) {
+        quietWaitBudget = 120.0
+        val (l3, h3) = scalingThroughput(lowCores, highCores, buildN, corpusDir,
+          budgetSec * 0.35, target, initLow = wallLow, initHigh = wallHigh)
+        wallLow = l3; wallHigh = h3
+      } else System.err.println("[bench] window C skipped: host still degraded")
+    }
     if (!skipScaling && !secondaryDone) {
       // gate consumed the shared budget: single un-retried secondary pair
       val p = scalingThroughput(math.max(1, cpus / 4), cpus, buildN, corpusDir,

@@ -195,6 +195,8 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash16(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
+    "q_simhash64" -> ((s, dir) =>
+      Dedup.simhash64(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
     // ---- text metrics --------------------------------------------------
     "q_quality" -> ((s, dir) =>
       TextMetrics.quality(docsDf(s, dir), "doc_id", "text").orderBy(col("id"))),
@@ -883,6 +885,22 @@ object SparkEntry {
          |      THEN tf ELSE -tf END) AS s
          | FROM th, unnest(range(16)) AS u(j) GROUP BY doc_id, j)
          |SELECT doc_id AS id, CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin,
+    "q_simhash64" ->
+      s"""$TOK,
+         |th AS (SELECT doc_id, term, tf,
+         |  ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         |  ('0x' || substr(md5(term), 9, 8))::BIGINT AS h2 FROM tf),
+         |bits AS (SELECT doc_id, j,
+         |  sum(CASE WHEN ((CASE WHEN j < 32 THEN h1 ELSE h2 END) >> (j % 32)) & 1 = 1
+         |      THEN tf ELSE -tf END) AS s
+         | FROM th, unnest(range(64)) AS u(j) GROUP BY doc_id, j)
+         |SELECT doc_id AS id,
+         |  -- bit 63 is the two's-complement sign bit: duckdb refuses
+         |  -- 1<<63, so it enters the sum as -2^63 (same i64 encoding)
+         |  CAST(sum(CASE WHEN s >= 0 AND j = 63 THEN -9223372036854775807 - 1
+         |           WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |           ELSE 0 END) AS BIGINT) AS simhash64
          |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin,
     "q_quality" ->
       s"""$TOK,

@@ -142,17 +142,20 @@ final class Index(val engine: SearchEngine,
       val extra = Seq.newBuilder[Any]
       if (wantFmt) {
         val cropped = r.cropLength.fold(text)(n =>
-          graft.search.Highlighter.crop(text, cropTerms, n, r.cropMarker))
+          graft.search.Highlighter.crop(text, cropTerms, n, r.cropMarker,
+            engine.tokSettings))
         extra += (if (r.highlight)
           graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag,
-            prefixTerms = prefixes, phrases = phrases)
+            prefixTerms = prefixes, phrases = phrases, tok = engine.tokSettings)
         else cropped)
       }
       // `_matchesPosition` (reference show_matches_position: per-match
       // term + word position + char span over the stored field)
       if (r.showMatchesPosition)
-        extra += (graft.search.Highlighter.matchPositions(text, terms, prefixes) ++
-          phrases.flatMap(p => graft.search.Highlighter.phrasePositions(text, p)))
+        extra += (graft.search.Highlighter.matchPositions(text, terms, prefixes,
+            engine.tokSettings) ++
+          phrases.flatMap(p =>
+            graft.search.Highlighter.phrasePositions(text, p, engine.tokSettings)))
           .sortBy(_.start)
           .map(m => s"${m.term}@${m.pos}[${m.start},${m.end})").mkString(";")
       Row.fromSeq(row.toSeq ++ extra.result())

@@ -16,8 +16,10 @@ object Highlighter {
   /** Char spans of query-term matches in `text` (prefix flag matches the
     * last-word-as-prefix search mode). */
   def matchPositions(text: String, terms: Set[String],
-                     prefixTerms: Set[String] = Set.empty): Seq[MatchPosition] =
-    Tokenizer.tokenizeWithOffsets(text).collect {
+                     prefixTerms: Set[String] = Set.empty,
+                     tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default)
+      : Seq[MatchPosition] =
+    Tokenizer.tokenizeWithOffsets(text, tok).collect {
       case t if terms.contains(t.term) ||
         prefixTerms.exists(p => t.term.startsWith(p)) =>
         MatchPosition(t.term, t.pos, t.start, t.end)
@@ -29,9 +31,11 @@ object Highlighter {
     * MatchingWords phrase arm; a lone member word elsewhere is NOT a
     * match). One span per occurrence, first-token start to last-token
     * end. */
-  def phrasePositions(text: String, phrase: Seq[String]): Seq[MatchPosition] = {
+  def phrasePositions(text: String, phrase: Seq[String],
+                      tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default)
+      : Seq[MatchPosition] = {
     if (phrase.isEmpty) return Nil
-    val toks = Tokenizer.tokenizeWithOffsets(text)
+    val toks = Tokenizer.tokenizeWithOffsets(text, tok)
     (0 to toks.size - phrase.size).collect {
       case i if phrase.indices.forall(j =>
         toks(i + j).term == phrase(j) && toks(i + j).pos == toks(i).pos + j) =>
@@ -45,9 +49,10 @@ object Highlighter {
   def highlight(text: String, terms: Set[String],
                 pre: String = "<em>", post: String = "</em>",
                 prefixTerms: Set[String] = Set.empty,
-                phrases: Seq[Seq[String]] = Nil): String = {
-    val ms = matchPositions(text, terms, prefixTerms) ++
-      phrases.flatMap(p => phrasePositions(text, p))
+                phrases: Seq[Seq[String]] = Nil,
+                tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default): String = {
+    val ms = matchPositions(text, terms, prefixTerms, tok) ++
+      phrases.flatMap(p => phrasePositions(text, p, tok))
     if (ms.isEmpty) return text
     val sb = new java.lang.StringBuilder(text.length + ms.size * (pre.length + post.length))
     var cur = 0
@@ -67,8 +72,9 @@ object Highlighter {
   /** Crop to ~cropLength words around the best (densest, then earliest)
     * match window; `marker` marks elided edges. */
   def crop(text: String, terms: Set[String], cropLength: Int = 10,
-           marker: String = "…"): String = {
-    val toks = Tokenizer.tokenizeWithOffsets(text)
+           marker: String = "…",
+           tok: Tokenizer.TokSettings = Tokenizer.TokSettings.Default): String = {
+    val toks = Tokenizer.tokenizeWithOffsets(text, tok)
     if (toks.isEmpty) return text
     val matched = toks.indices.filter(i => terms.contains(toks(i).term))
     if (matched.isEmpty)
