@@ -280,14 +280,15 @@ object Bench {
     if (!skipScaling && gateEff < 0.8) {
       val bwRef = math.max(bestBw, 3000.0)
       val t0 = System.nanoTime()
-      def bwOk() = memBandwidth() >= 0.7 * bwRef
-      var ok = bwOk()
-      while (!ok && (System.nanoTime() - t0) / 1e9 < 600) {
+      var lastBw = memBandwidth()
+      def bwOk() = lastBw >= 0.7 * bwRef
+      while (!bwOk() && (System.nanoTime() - t0) / 1e9 < 600) {
         System.err.println(f"[bench] window C waiting for bandwidth recovery " +
-          f"(bw ${bestBw}%.0f-ref $bwRef%.0f MB/s)")
+          f"(current $lastBw%.0f vs ref $bwRef%.0f MB/s)")
         Thread.sleep(30000)
-        ok = bwOk()
+        lastBw = memBandwidth()
       }
+      val ok = bwOk()
       if (ok) {
         quietWaitBudget = 120.0
         val (l3, h3) = scalingThroughput(lowCores, highCores, buildN, corpusDir,

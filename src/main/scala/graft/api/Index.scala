@@ -66,24 +66,39 @@ final class Index(val engine: SearchEngine,
     attrs.map(_.map(n => fieldIds.getOrElse(n,
       throw new IllegalArgumentException(s"unknown searchable attribute '$n'"))).toSet)
 
+  /** One `field:asc|desc` sort entry → Column, validated identically on
+    * the ranked and placeholder paths. */
+  private val SortEntry = "([A-Za-z_][A-Za-z0-9_]*):(asc|desc)".r
+  private def sortCol(entry: String): org.apache.spark.sql.Column = entry match {
+    case SortEntry(f, "asc") => col(f).asc_nulls_last
+    case SortEntry(f, "desc") => col(f).desc_nulls_last
+    case other => throw new IllegalArgumentException(
+      s"invalid sort entry '$other' (field:asc|field:desc)")
+  }
+
   def search(r: SearchRequest): DataFrame = {
-    if (r.q.trim.isEmpty) return placeholderSearch(r)
-    val strategy = strategyOf(r.matchingStrategy)
-    val fids = fidsOf(r.attributesToSearchOn)
-    // sort entries replace the `sort` rule slot in configured order
-    // (multi-entry sort = lexicographic at that position)
-    val rules = r.rankingRules.flatMap {
-      case "sort" => r.sort
-      case other => Seq(other)
-    }
-    val ranked = mr.search(r.q, r.offset + r.limit,
-      filterExpr = r.filter,
-      distinct = r.distinct,
-      lastIsPrefix = r.lastWordIsPrefix,
-      strategy = strategy,
-      scoreThreshold = r.rankingScoreThreshold,
-      searchOnFids = fids,
-      rankingRules = rules)
+    val ranked =
+      if (r.q.trim.isEmpty) placeholderRanked(r)
+      else {
+        val strategy = strategyOf(r.matchingStrategy)
+        val fids = fidsOf(r.attributesToSearchOn)
+        // sort entries replace the `sort` rule slot in configured order
+        // (multi-entry sort = lexicographic at that position); validate
+        // them eagerly so both paths reject malformed entries alike
+        r.sort.foreach(sortCol)
+        val rules = r.rankingRules.flatMap {
+          case "sort" => r.sort
+          case other => Seq(other)
+        }
+        mr.search(r.q, r.offset + r.limit,
+          filterExpr = r.filter,
+          distinct = r.distinct,
+          lastIsPrefix = r.lastWordIsPrefix,
+          strategy = strategy,
+          scoreThreshold = r.rankingScoreThreshold,
+          searchOnFids = fids,
+          rankingRules = rules)
+      }
     val sliced =
       if (r.offset == 0) ranked
       else {
@@ -168,18 +183,17 @@ final class Index(val engine: SearchEngine,
       StructType(page.schema.fields ++ extraFields))
   }
 
-  /** Placeholder search (reference: an empty `q` matches every
+  /** Placeholder ranking (reference: an empty `q` matches every
     * document, ordered by the applicable rules —
     * meilisearch/src/search/mod.rs placeholder path): all live docs,
-    * filter / sort / distinct / pagination still applied; every doc
-    * scores 1.0 (no relevance signal to rank on). */
-  private def placeholderSearch(r: SearchRequest): DataFrame = {
+    * filter / sort / distinct applied; every doc scores 1.0 (no
+    * relevance signal to rank on). Slicing, formatting and
+    * attributesToRetrieve run in the SHARED `search` tail, so the
+    * placeholder path honors the full request surface. */
+  private def placeholderRanked(r: SearchRequest): DataFrame = {
     val filtered = r.filter.fold(engine.docs)(f =>
       engine.docs.filter(graft.query.FilterParser.parse(f)))
-    val sortCols = r.sort.map { s =>
-      val Array(f, dir) = s.split(":")
-      if (dir == "asc") col(f).asc_nulls_last else col(f).desc_nulls_last
-    } :+ col("docId").asc
+    val sortCols = r.sort.map(sortCol) :+ col("docId").asc
     val deduped = r.distinct match {
       case Some(dcol) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -188,14 +202,8 @@ final class Index(val engine: SearchEngine,
           .where($"_rn" === 1).drop("_rn")
       case None => filtered
     }
-    val page = deduped.withColumn("rankingScore", lit(1.0))
+    deduped.withColumn("rankingScore", lit(1.0))
       .orderBy(sortCols: _*).limit(r.offset + r.limit)
-    if (r.offset == 0) page
-    else {
-      val rows = page.collect().drop(r.offset).toSeq
-      engine.spark.createDataFrame(
-        engine.spark.sparkContext.parallelize(rows, 1), page.schema)
-    }
   }
 
   /** Exhaustive hit count for the request: the SAME derivation-aware
@@ -209,7 +217,24 @@ final class Index(val engine: SearchEngine,
     * which the ranking window also collapses to a single null-group
     * representative — counted as 1 here identically. */
   def totalHits(r: SearchRequest): Long = {
-    val uni = requestUniverse(r)
+    // a rankingScoreThreshold restricts the counted universe exactly as
+    // it restricts the page (the reference applies it during bucket
+    // iteration): count over the SCORED universe then
+    val uni =
+      if (r.q.trim.isEmpty || r.rankingScoreThreshold.isEmpty) requestUniverse(r)
+      else {
+        r.sort.foreach(sortCol)
+        val rules = r.rankingRules.flatMap {
+          case "sort" => r.sort
+          case other => Seq(other)
+        }
+        mr.scoredUniverse(r.q, r.filter,
+          lastIsPrefix = r.lastWordIsPrefix,
+          strategy = strategyOf(r.matchingStrategy),
+          scoreThreshold = r.rankingScoreThreshold,
+          searchOnFids = fidsOf(r.attributesToSearchOn),
+          rankingRules = rules)._1.select(col("docId"))
+      }
     r.distinct match {
       case None => uni.count()
       case Some(dcol) =>

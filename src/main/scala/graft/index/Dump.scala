@@ -37,14 +37,8 @@ object Dump {
         "format stores only the concatenated content column")
     // LIVE documents only: a dump taken after delete() but before
     // compact() must not resurrect tombstoned docs on import
-    val docs0 = spark.read.parquet(s"$indexDir/docs")
-    val delP = new Path(s"$indexDir/deleted")
-    val live =
-      if (fs.exists(delP))
-        docs0.join(broadcast(spark.read.parquet(s"$indexDir/deleted")
-          .select($"docId")), Seq("docId"), "left_anti")
-      else docs0
-    live.select($"repo", $"path", $"commit", $"lang", $"content")
+    IndexBuild.liveDocs(spark, indexDir)
+      .select($"repo", $"path", $"commit", $"lang", $"content")
       .write.mode("overwrite").json(s"$dumpDir/documents")
 
     val stats = spark.read.parquet(s"$indexDir/stats")

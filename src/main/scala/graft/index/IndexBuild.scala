@@ -89,6 +89,42 @@ object IndexBuild {
   @inline def keyDoc(key: Long): Int = (key >>> 32).toInt
   @inline def keyTf(key: Long): Int = key.toInt
 
+  /** [[packKey]] as Column arithmetic — the ONE other encoding of the
+    * key layout (callers producing keys from DataFrame columns). */
+  def packKeyCol(docId: org.apache.spark.sql.Column,
+                 tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(docId.cast("long"), 32).bitwiseOR(tf.cast("long"))
+
+  /** The standard posting-block encode pipeline over (term, key) rows:
+    * salted repartition on (term, derived shard) → in-partition sort →
+    * streaming block encoder. One definition of the shuffle shape for
+    * build / append / prefix / multi-field. */
+  def encodeBlocks(df: DataFrame, cfg: IndexConfig): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(cfg.numPartitions, col("term"),
+        expr(s"key div CAST(${cfg.docsPerShard.toLong << 32} AS BIGINT)"))
+      .sortWithinPartitions(col("term"), col("key"))
+      .as[(String, Long)]
+      .mapPartitions(rows =>
+        encodePartition(rows, cfg.blockSize, cfg.termBuckets, cfg.docsPerShard))
+      .toDF(EncodedCols: _*)
+  }
+
+  /** Live (non-tombstoned) documents of an index — the single
+    * definition of the tombstone-exclusion join (used by facet builds,
+    * compaction and dumps; the query side's SearchEngine.liveOnly is
+    * the per-engine cached equivalent). */
+  def liveDocs(spark: SparkSession, indexDir: String): DataFrame = {
+    val docs0 = spark.read.parquet(s"$indexDir/docs")
+    val delP = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
+    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delP))
+      docs0.join(broadcast(spark.read.parquet(s"$indexDir/deleted")
+        .select(col("docId"))), Seq("docId"), "left_anti")
+    else docs0
+  }
+
   /** Per-doc tokenize + aggregate: one TermDoc row per distinct term.
     * Stop words are skipped but still advanced positions (tokenize
     * already assigned them). */
@@ -177,17 +213,8 @@ object IndexBuild {
       .flatMap { case (id, c) =>
         termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
       }
-    def encoded(ds: Dataset[(String, Long)]): DataFrame = ds
-      .toDF("term", "key")
-      // hash-partition on (term, shard): shard = key div (dps << 32) is
-      // exact integer arithmetic (tf occupies the low 32 bits), so the
-      // skew salt is identical to materializing a shard column
-      .repartition(cfg.numPartitions, $"term",
-        expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
-      .sortWithinPartitions($"term", $"key")
-      .as[(String, Long)]
-      .mapPartitions(rows => encodePartition(rows, blockSize, tb, dps))
-      .toDF(EncodedCols: _*)
+    def encoded(ds: Dataset[(String, Long)]): DataFrame =
+      encodeBlocks(ds.toDF("term", "key"), cfg)
 
     if (cfg.bucketWaves) {
       (0 until tb).foreach { b =>
@@ -333,12 +360,7 @@ object IndexBuild {
             termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
           }
           .toDF("term", "key")
-          .repartition(cfg.numPartitions, $"term",
-            expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
-          .sortWithinPartitions($"term", $"key")
-          .as[(String, Long)]
-          .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
-          .toDF(EncodedCols: _*)
+          .transform(encodeBlocks(_, cfg))
           .write.mode("overwrite").partitionBy("bucket").parquet(staging)
         Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
         if (cfg.positions) {
@@ -410,14 +432,7 @@ object IndexBuild {
   def buildFacetIndex(spark: SparkSession, indexDir: String,
                       cols: Seq[String], numPartitions: Int = 4): Unit = {
     import spark.implicits._
-    val docsDf = spark.read.parquet(s"$indexDir/docs")
-    val delP = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
-    val dfs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (dfs.exists(delP))
-        docsDf.join(broadcast(spark.read.parquet(s"$indexDir/deleted")
-          .select($"docId")), Seq("docId"), "left_anti")
-      else docsDf
+    val live = liveDocs(spark, indexDir)
     cols.foreach { c =>
       live.groupBy(col(c).as("value"))
         .agg(count(lit(1)).as("n"),
@@ -449,31 +464,47 @@ object IndexBuild {
     * Selection uses Σdf ≥ minDf (an upper bound of the reference's
     * distinct-doc threshold — cheap from the dict alone; a prefix
     * passing on Σdf but not on distinct docs merely materializes a
-    * slightly-smaller-than-threshold list). Lineage-committed: rerun
-    * after append/compact to refresh. One decode pass over the posting
-    * blocks + one bounded shuffle per table — never per query. */
+    * slightly-smaller-than-threshold list).
+    *
+    * Staleness: NOT lineage-gated (that would freeze the tables at
+    * their first build — the trap buildFacetIndex documents). Instead a
+    * fingerprint of the posting metadata (Σcount, max lastDoc, #blocks
+    * — a column-pruned scan) is stored in prefix_meta/; a rerun after
+    * append/compact sees a changed fingerprint and rebuilds, while a
+    * rerun over unchanged postings is a cheap no-op. The meta is
+    * written LAST, so a killed rebuild re-runs (idempotent overwrite).
+    * One decode pass over the posting blocks + one bounded shuffle per
+    * table — never per query. */
   def buildPrefixIndex(spark: SparkSession, indexDir: String, cfg: IndexConfig,
                        maxLen: Int = PrefixMaxLen, minDf: Long = PrefixMinDf): Unit = {
     import spark.implicits._
-    val tb = cfg.termBuckets
-    val dps = cfg.docsPerShard
-    Lineage.stage(spark, indexDir, "prefixes") {
-      spark.read.parquet(s"$indexDir/dict")
-        .select($"term", $"df").as[(String, Long)]
-        .flatMap { case (t, df) =>
-          (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), df))
-        }
-        .toDF("term", "df")
-        .groupBy($"term").agg(sum($"df").as("df"))
-        .filter($"df" >= minDf)
-        .select($"term", $"df", length($"term").as("len"))
-        .write.mode("overwrite").parquet(s"$indexDir/prefix_dict")
+    val sigRow = spark.read.parquet(s"$indexDir/postings")
+      .agg(coalesce(sum($"count"), lit(0L)), coalesce(max($"lastDoc"), lit(-1)),
+        count(lit(1))).collect()(0)
+    val sig = s"${sigRow.getLong(0)}:${sigRow.get(1)}:${sigRow.getLong(2)}:$maxLen:$minDf"
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexDir/prefix_meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaP) &&
+        spark.read.parquet(s"$indexDir/prefix_meta").as[String].collect()
+          .headOption.contains(sig)) return
 
-      val sel = spark.read.parquet(s"$indexDir/prefix_dict").select($"term".as("prefix"))
+    spark.read.parquet(s"$indexDir/dict")
+      .select($"term", $"df").as[(String, Long)]
+      .flatMap { case (t, df) =>
+        (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), df))
+      }
+      .toDF("term", "df")
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .filter($"df" >= minDf)
+      .select($"term", $"df", length($"term").as("len"))
+      .write.mode("overwrite").parquet(s"$indexDir/prefix_dict")
 
-      // merged prefix postings: decode → explode member prefixes →
-      // keep selected → re-encode through the standard (term, key)
-      // shuffle (same salt, same block layout)
+    val sel = spark.read.parquet(s"$indexDir/prefix_dict").select($"term".as("prefix"))
+
+    // merged prefix postings: decode → explode member prefixes → keep
+    // selected → re-encode through the standard (term, key) shuffle
+    // (same salt, same block layout)
+    encodeBlocks(
       spark.read.parquet(s"$indexDir/postings")
         .select($"term", $"docBytes", $"tfBytes")
         .as[(String, Array[Byte], Array[Byte])]
@@ -487,41 +518,36 @@ object IndexBuild {
         .toDF("prefix", "docId", "tf")
         .join(sel, Seq("prefix"), "left_semi")
         .groupBy($"prefix", $"docId").agg(sum($"tf").cast("int").as("tf"))
-        .select($"prefix".as("term"),
-          shiftleft($"docId".cast("long"), 32).bitwiseOR($"tf".cast("long")).as("key"))
-        .repartition(cfg.numPartitions, $"term",
-          expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
-        .sortWithinPartitions($"term", $"key")
-        .as[(String, Long)]
-        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
-        .toDF(EncodedCols: _*)
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/prefixes")
+        .select($"prefix".as("term"), packKeyCol($"docId", $"tf").as("key")),
+      cfg)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/prefixes")
 
-      // merged prefix positions (only when the index has positions)
-      val posP = new org.apache.hadoop.fs.Path(s"$indexDir/positions")
-      if (posP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posP)) {
-        spark.read.parquet(s"$indexDir/positions")
-          .select($"term", $"docId", $"positions")
-          .as[(String, Int, Array[Int])]
-          .flatMap { case (t, d, ps) =>
-            (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), d, ps))
-          }
-          .toDF("prefix", "docId", "positions")
-          .join(sel, Seq("prefix"), "left_semi")
-          .groupBy($"prefix", $"docId")
-          .agg(sort_array(array_distinct(flatten(collect_list($"positions"))))
-            .as("positions"))
-          .select($"prefix".as("term"), $"docId", $"positions")
-          .as[(String, Int, Array[Int])]
-          .map { case (t, d, ps) => (t, d, ps, bucketOf(t, tb)) }
-          .toDF("term", "docId", "positions", "bucket")
-          .repartition(math.max(1, cfg.numPartitions / 2), $"term")
-          .sortWithinPartitions($"term", $"docId")
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/prefix_positions")
-      }
-      Nil
+    // merged prefix positions (only when the index has positions)
+    val tb = cfg.termBuckets
+    val posP = new org.apache.hadoop.fs.Path(s"$indexDir/positions")
+    if (posP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posP)) {
+      spark.read.parquet(s"$indexDir/positions")
+        .select($"term", $"docId", $"positions")
+        .as[(String, Int, Array[Int])]
+        .flatMap { case (t, d, ps) =>
+          (1 to math.min(maxLen, t.length)).map(l => (t.substring(0, l), d, ps))
+        }
+        .toDF("prefix", "docId", "positions")
+        .join(sel, Seq("prefix"), "left_semi")
+        .groupBy($"prefix", $"docId")
+        .agg(sort_array(array_distinct(flatten(collect_list($"positions"))))
+          .as("positions"))
+        .select($"prefix".as("term"), $"docId", $"positions")
+        .as[(String, Int, Array[Int])]
+        .map { case (t, d, ps) => (t, d, ps, bucketOf(t, tb)) }
+        .toDF("term", "docId", "positions", "bucket")
+        .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+        .sortWithinPartitions($"term", $"docId")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/prefix_positions")
     }
+    Seq(sig).toDF("sig").repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/prefix_meta")
   }
 
   /** Reference thresholds (index.rs:1711-1713). */
@@ -536,15 +562,7 @@ object IndexBuild {
   def compact(spark: SparkSession, indexDir: String, outDir: String,
               cfg: IndexConfig): Unit = {
     import spark.implicits._
-    val docs0 = spark.read.parquet(s"$indexDir/docs")
-      .select($"docId", $"repo", $"path", $"commit", $"lang", $"content")
-    val delP = new org.apache.hadoop.fs.Path(s"$indexDir/deleted")
-    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (fs.exists(delP))
-        docs0.join(broadcast(spark.read.parquet(s"$indexDir/deleted").select($"docId")),
-          Seq("docId"), "left_anti")
-      else docs0
+    val live = liveDocs(spark, indexDir)
     build(spark, live.select($"repo", $"path", $"commit", $"lang", $"content")
       .as[graft.corpus.SourceFile], outDir, cfg)
   }
@@ -696,14 +714,8 @@ object IndexBuild {
           org.apache.spark.sql.Row(term, id)
         }, org.apache.spark.sql.types.StructType.fromDDL("term STRING, docId INT"))
         .groupBy($"term", $"docId").agg(count(lit(1)).cast("int").as("tf"))
-        .select($"term",
-          shiftleft($"docId".cast("long"), 32).bitwiseOR($"tf".cast("long")).as("key"))
-        .repartition(cfg.numPartitions, $"term",
-          expr(s"key div CAST(${dps.toLong << 32} AS BIGINT)"))
-        .sortWithinPartitions($"term", $"key")
-        .as[(String, Long)]
-        .mapPartitions(rows => encodePartition(rows, cfg.blockSize, tb, dps))
-        .toDF(EncodedCols: _*)
+        .select($"term", packKeyCol($"docId", $"tf").as("key"))
+        .transform(encodeBlocks(_, cfg))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
       postingLineage(spark, s"$indexDir/postings", "postings")
     }

@@ -383,13 +383,48 @@ final class MeiliRank(engine: SearchEngine,
              scoreThreshold: Option[Double] = None,
              searchOnFids: Option[Set[Int]] = None,
              rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
+    val (filtered, sortCols, n) = scoredUniverse(q, filterExpr, sortBy,
+      lastIsPrefix, strategy, scoreThreshold, searchOnFids, rankingRules)
+    if (n == 0)
+      return engine.docs.limit(0)
+        .select($"docId", lit(0).as("rankingScore"))
+    val withMeta = filtered.join(engine.docs.drop("len"), Seq("docId"))
+    val ordered = distinct match {
+      case Some(dcol) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(dcol)).orderBy(sortCols: _*)
+        withMeta.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
+      case None => withMeta
+    }
+    ordered.orderBy(sortCols: _*).limit(k)
+      .select($"docId", $"wordsRank", $"typoCost", $"proxCost", $"fidCost",
+        $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
+        $"repo", $"path", $"lang")
+  }
+
+  /** The scored + filtered candidate universe with every rank column
+    * and rankingScore — BEFORE the meta join / distinct window / top-k.
+    * Threshold-aware exhaustive counting (api.Index.totalHits) reads
+    * this, so the count and the page agree on one set (the reference
+    * applies the threshold during bucket iteration,
+    * bucket_sort.rs:242-258). Returns (universe, sort Columns in
+    * configured rule order with the docid tie-break, slot count);
+    * slot count 0 = nothing matched (empty universe). */
+  private[graft] def scoredUniverse(q: String,
+             filterExpr: Option[String] = None,
+             sortBy: Option[(String, Boolean)] = None,
+             lastIsPrefix: Boolean = false,
+             strategy: TermsMatching = TermsMatching.Last,
+             scoreThreshold: Option[Double] = None,
+             searchOnFids: Option[Set[Int]] = None,
+             rankingRules: Seq[String] = MeiliRank.DefaultRules)
+      : (DataFrame, Seq[Column], Int) = {
     val pq = engine.parseQuery(q)
     val (slots, kposArr, perDoc) =
       matchedInternal(pq, lastIsPrefix, strategy, searchOnFids)
     val n = slots.length
     if (n == 0)
-      return engine.docs.limit(0)
-        .select($"docId", lit(0).as("rankingScore"))
+      return (spark.range(0).select($"id".cast("int").as("docId")), Nil, 0)
 
     // proximity: min pair distance per original-adjacent kept slot pair;
     // absent pair (beyond cap) costs 8; pairs with a removed endpoint 0
@@ -522,7 +557,7 @@ final class MeiliRank(engine: SearchEngine,
     val scored = scoreThreshold.fold(scored0)(t =>
       scored0.filter($"rankingScore" >= t))
 
-    // filter / distinct / sort / top-k
+    // request filter restricts the universe
     val filtered = filterExpr match {
       case Some(f) => scored.join(
         engine.docs.filter(graft.query.FilterParser.parse(f)).select($"docId"),
@@ -532,19 +567,7 @@ final class MeiliRank(engine: SearchEngine,
     // lexicographic sort in configured rule order (default: user sort —
     // the "sort" rule — slots between attribute and exactness,
     // criterion.rs), docid-asc tie-break last
-    val sortCols: Seq[Column] = parts.flatMap(_._1) :+ $"docId".asc
-    val withMeta = filtered.join(engine.docs.drop("len"), Seq("docId"))
-    val ordered = distinct match {
-      case Some(dcol) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(dcol)).orderBy(sortCols: _*)
-        withMeta.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
-      case None => withMeta
-    }
-    ordered.orderBy(sortCols: _*).limit(k)
-      .select($"docId", $"wordsRank", $"typoCost", $"proxCost", $"fidCost",
-        $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
-        $"repo", $"path", $"lang")
+    (filtered, parts.flatMap(_._1) :+ $"docId".asc, n)
   }
 }
 

@@ -53,8 +53,14 @@ object Hybrid {
                    queryVecId: Long, pool: Int,
                    indexDir: Option[String] = None,
                    exactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
+    // routing from plan STATISTICS (free — no per-query count() job;
+    // parquet sources report exact byte sizes): 512 B/row is a generous
+    // per-embedding-row estimate, so the exact path persists slightly
+    // past the cap rather than LSH kicking in early
+    def estRows: BigInt =
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
     val useLsh = indexDir.isDefined &&
-      (exactMaxRows <= 0 || emb.count() > exactMaxRows)
+      (exactMaxRows <= 0 || estRows > exactMaxRows)
     if (useLsh)
       graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get, queryVecId, pool)
         .select(col("vec_id").cast("int").as("docId"), col("score"))

@@ -470,8 +470,14 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
                   cap: Int = SearchEngine.MaxPrefixCount): Seq[String] =
     td.withPrefix(Tokenizer.normalize(prefix), cap).map(_._1).toSeq
 
-  def prefixSearch(prefix: String): DataFrame = {
-    val ts = td.withPrefix(Tokenizer.normalize(prefix)).map { case (t, df) =>
+  /** Docs matching any dictionary term with the prefix, with the count
+    * of distinct matched terms. Term enumeration is capped like
+    * [[prefixTerms]] (MAX_PREFIX_COUNT); a workload needing unbounded
+    * prefix coverage should use the precomputed tables ([[prefixDocs]])
+    * instead of enumerating. */
+  def prefixSearch(prefix: String,
+                   cap: Int = SearchEngine.MaxPrefixCount): DataFrame = {
+    val ts = td.withPrefix(Tokenizer.normalize(prefix), cap).map { case (t, df) =>
       QueryTerm(t, df, BM25.idf(df, nDocs), IndexBuild.bucketOf(t, termBuckets))
     }.toSeq
     if (ts.isEmpty) return spark.range(0)

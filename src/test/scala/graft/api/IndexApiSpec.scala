@@ -175,6 +175,31 @@ class IndexApiSpec extends AnyFunSuite {
     assert(idx.totalHits(r.copy(distinct = None)) == 5)
   }
 
+  test("totalHits honors rankingScoreThreshold (== page walk, with and without distinct)") {
+    val all = idx.search(SearchRequest(q = "spark merge", limit = 100)).collect()
+    val scores = all.map(_.getAs[Double]("rankingScore"))
+    val tau = scores.sorted.apply(scores.length / 2) // median: cuts some docs
+    val r = SearchRequest(q = "spark merge", limit = 100,
+      rankingScoreThreshold = Some(tau))
+    assert(idx.totalHits(r) == idx.search(r).collect().length.toLong)
+    assert(idx.totalHits(r) < all.length, "threshold must cut the count")
+    val rd = r.copy(distinct = Some("lang"))
+    assert(idx.totalHits(rd) == idx.search(rd).collect().length.toLong)
+  }
+
+  test("placeholder path honors attributesToRetrieve, highlight and sort validation") {
+    val proj = idx.search(SearchRequest(q = "", limit = 100,
+      attributesToRetrieve = Some(Seq("lang")))).columns.toSet
+    assert(proj == Set("docId", "lang"), s"$proj")
+    val hl = idx.search(SearchRequest(q = "", limit = 2, highlight = true))
+    assert(hl.columns.contains("_formatted"),
+      "placeholder must produce the same formatted surface")
+    intercept[IllegalArgumentException](
+      idx.search(SearchRequest(q = "", sort = Seq("lang"))))
+    intercept[IllegalArgumentException](
+      idx.search(SearchRequest(q = "spark", sort = Seq("lang:Asc"))))
+  }
+
   test("empty q is a placeholder search: all docs, filter/sort/distinct applied") {
     val all = idx.search(SearchRequest(q = "", limit = 100)).collect()
     assert(all.length == 5, s"placeholder must return every doc: ${all.length}")

@@ -237,6 +237,35 @@ class ScalePathSpec extends AnyFunSuite {
       new TermDict(spark, s"$dir2/dict").withPrefix("r", 3).toSeq)
   }
 
+  test("prefix tables refresh after append (fingerprint-gated, not lineage-frozen)") {
+    val cfg = IndexConfig(docsPerShard = 64, termBuckets = 4, blockSize = 16,
+      numPartitions = 4, positions = true)
+    val dir = Files.createTempDirectory("prefixappend").toString
+    IndexBuild.build(spark, CorpusGen.generate(spark, 200).as[graft.corpus.SourceFile],
+      dir, cfg)
+    IndexBuild.buildPrefixIndex(spark, dir, cfg, minDf = 5)
+    val before = new SearchEngine(spark, dir)
+    assert(before.prefixIndexed("re"))
+    val beforeDocs = before.prefixDocs("re").count()
+    // append 100 more docs, rerun the builder as documented
+    IndexBuild.append(spark,
+      CorpusGen.generate(spark, 100, seed = 99L).as[graft.corpus.SourceFile],
+      dir, cfg, "b1")
+    IndexBuild.buildPrefixIndex(spark, dir, cfg, minDf = 5)
+    val after = new SearchEngine(spark, dir)
+    val got = after.prefixDocs("re").select($"docId").as[Int].collect().toSet
+    // merged list covers the appended docs too (== fresh union)
+    val want = after.td.fullMap.get.keys.filter(_.startsWith("re")).toSeq
+      .flatMap(t => after.decoded(after.termsOf(Seq(t))).collect().map(_.docId)).toSet
+    assert(got == want, s"stale prefix table: ${want -- got} missing")
+    assert(got.size > beforeDocs, "appended docs must join the merged list")
+    // unchanged postings -> rebuild is a no-op (fingerprint match)
+    val metaBefore = spark.read.parquet(s"$dir/prefix_meta").inputFiles.toSeq
+    IndexBuild.buildPrefixIndex(spark, dir, cfg, minDf = 5)
+    assert(spark.read.parquet(s"$dir/prefix_meta").inputFiles.toSeq == metaBefore,
+      "same-fingerprint rerun must not rewrite")
+  }
+
   test("TermDict caches are LRU-bounded with unchanged lookup results") {
     val td = new TermDict(spark, s"$dictIdx/dict", cacheEntries = 2)
     val fresh = new TermDict(spark, s"$dictIdx/dict")
