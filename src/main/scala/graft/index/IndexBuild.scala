@@ -727,7 +727,11 @@ object IndexBuild {
           "term STRING, docId INT, pos INT"))
         .groupBy($"term", $"docId")
         .agg(sort_array(collect_list($"pos")).as("positions"))
-        .withColumn("bucket", udf((t: String) => bucketOf(t, tb)).apply($"term"))
+        // typed map (not a ScalaUDF) for the bucket: same JLS-stable
+        // String.hashCode as the query side
+        .as[(String, Int, Array[Int])]
+        .map { case (t, d, ps) => (t, d, ps, bucketOf(t, tb)) }
+        .toDF("term", "docId", "positions", "bucket")
         .repartition(cfg.numPartitions, $"term")
         .sortWithinPartitions($"term", $"docId")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/positions")
