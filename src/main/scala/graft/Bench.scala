@@ -219,6 +219,14 @@ object Bench {
     // round runs always include scaling)
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
+    // global deadline: the windows below must never push the whole run
+    // past the driver's patience — a missing BENCH json is worse than a
+    // degraded number. Measured full runs: ~35-38 min; the reserve
+    // terms below shrink windows B/C when a slow host eats the slack.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "3300").toDouble
+    val tStart = System.nanoTime()
+    def remainingSec: Double = deadlineSec - (System.nanoTime() - tStart) / 1e9
+
     val corpusDir = if (skipScaling) "" else corpusPath(cpus, buildN)
     if (!skipScaling) warmup(cpus)
 
@@ -263,9 +271,10 @@ object Bench {
     // ---- scaling window B (post-queries): gate retries with carried
     // best samples; fresh quiet-sensing budget for the second window ----
     if (!skipScaling && gateEff < 0.8) {
-      quietWaitBudget = 300.0
+      quietWaitBudget = math.min(300.0, math.max(0.0, remainingSec - 900))
       val (l2, h2) = scalingThroughput(lowCores, highCores, buildN, corpusDir,
-        budgetSec * 0.55, target, initLow = wallLow, initHigh = wallHigh)
+        math.min(budgetSec * 0.55, math.max(0.0, remainingSec - 600)),
+        target, initLow = wallLow, initHigh = wallHigh)
       wallLow = l2; wallHigh = h2
     }
     // ---- scaling window C (recovery): if BOTH windows failed AND the
@@ -277,12 +286,13 @@ object Bench {
     // degraded (bestBw alone would then call the degraded state
     // "recovered"). No recovery => no extra builds — degraded samples
     // are junk that best-of merely ignores, but they cost wall time.
-    if (!skipScaling && gateEff < 0.8) {
+    if (!skipScaling && gateEff < 0.8 && remainingSec > 900) {
       val bwRef = math.max(bestBw, 3000.0)
+      val waitCap = math.min(600.0, remainingSec - 700)
       val t0 = System.nanoTime()
       var lastBw = memBandwidth()
       def bwOk() = lastBw >= 0.7 * bwRef
-      while (!bwOk() && (System.nanoTime() - t0) / 1e9 < 600) {
+      while (!bwOk() && (System.nanoTime() - t0) / 1e9 < waitCap) {
         System.err.println(f"[bench] window C waiting for bandwidth recovery " +
           f"(current $lastBw%.0f vs ref $bwRef%.0f MB/s)")
         Thread.sleep(30000)
@@ -292,7 +302,8 @@ object Bench {
       if (ok) {
         quietWaitBudget = 120.0
         val (l3, h3) = scalingThroughput(lowCores, highCores, buildN, corpusDir,
-          budgetSec * 0.35, target, initLow = wallLow, initHigh = wallHigh)
+          math.min(budgetSec * 0.35, math.max(0.0, remainingSec - 400)),
+          target, initLow = wallLow, initHigh = wallHigh)
         wallLow = l3; wallHigh = h3
       } else System.err.println("[bench] window C skipped: host still degraded")
     }
