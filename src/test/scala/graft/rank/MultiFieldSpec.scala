@@ -87,6 +87,25 @@ class MultiFieldSpec extends AnyFunSuite {
       s"body-only doc 1 must not appear: $titleOnly")
   }
 
+  test("negatives and phrases honor attributesToSearchOn (universe restrictions share the field set)") {
+    // 'garden' occurs only in doc 1's TITLE; searching the BODY only,
+    // the negative must not see it — doc 1 stays (reference routes
+    // phrase/negative resolution through restricted_fids)
+    val bodyOnly = mr.search("cooking -garden", 10, searchOnFids = Some(Set(1)))
+      .collect().map(_.getInt(0)).toSet
+    assert(bodyOnly.contains(1), s"title-only negative must not exclude doc 1: $bodyOnly")
+    // unrestricted, the same negative excludes doc 1
+    val allFields = mr.search("cooking -garden", 10)
+      .collect().map(_.getInt(0)).toSet
+    assert(!allFields.contains(1), s"$allFields")
+    // phrase restriction follows the field set too: "cooking pasta" as
+    // a phrase exists in doc 0's TITLE and doc 1's BODY
+    val ph = engine.syntaxDocs(
+      graft.query.QueryParser.parse("\"cooking pasta\""), Some(Set(0)))
+      ._1.get.collect().map(_.getInt(0)).toSet
+    assert(ph == Set(0), s"title-restricted phrase universe: $ph")
+  }
+
   test("ProximityPrecision::ByAttribute: pair cost is same-field(1) or not(8)") {
     val mrAttr = new MeiliRank(engine,
       proximityPrecision = ProximityPrecision.ByAttribute)
