@@ -11,7 +11,7 @@ import graft.search.SearchEngine
   * Bench JVM) resume instead of rebuilding. */
 object DocIndex {
   /** bump when the on-disk index layout changes */
-  final val FormatVersion = 7
+  final val FormatVersion = 8
 
   private val engines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
 

@@ -48,7 +48,7 @@ object SparkEntry {
     * non-boost title — the shared tokenization spec breaks on
     * digit-bearing values like 'src3'. Lineage-committed: cheap rerun. */
   private def mfIndexDir(s: SparkSession, dir: String): String = {
-    val idxDir = s"/tmp/graft-mfidx-v1/${dirTag(dir)}"
+    val idxDir = s"/tmp/graft-mfidx-v2/${dirTag(dir)}"
     val src = docsDf(s, dir).select(col("doc_id"),
       when(col("doc_id") % 7 === 0, lit("spark boost"))
         .otherwise(col("lang")).as("title"),
@@ -101,12 +101,12 @@ object SparkEntry {
     }),
     "q_doclen" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
-      e.docs.select(col("docId").cast("long").as("doc_id"), col("len").cast("long").as("len"))
+      e.doclen.select(col("docId").cast("long").as("doc_id"), col("len").cast("long").as("len"))
         .orderBy(col("doc_id"))
     }),
     "q_stats" -> ((s, dir) => {
       val e = DocIndex.engine(s, dir)
-      e.docs.agg(count(lit(1)).as("n_docs"),
+      e.doclen.agg(count(lit(1)).as("n_docs"),
         round(avg(col("len")), 6).as("avgdl"))
     }),
     // ---- ranked retrieval (R*/T1: BM25 top-k) ------------------------
@@ -310,7 +310,7 @@ object SparkEntry {
     }),
     // ---- deletion: tombstoned docs excluded, Lucene stats (U1 del) ------
     "q_delete" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-delidx-v1/${dirTag(dir)}"
+      val idxDir = s"/tmp/graft-delidx-v2/${dirTag(dir)}"
       val first200 = docsDf(s, dir).orderBy(col("doc_id")).limit(200)
       // lineage-committed: repeated calls resume/no-op
       graft.index.IndexBuild.buildFromTable(s, first200,
@@ -350,7 +350,7 @@ object SparkEntry {
     // ---- stop words as an index setting (X3): dropped from dict/
     // postings/positions; surrounding positions and doc len preserved ----
     "q_stopword" -> ((s, dir) => {
-      val idxDir = s"/tmp/graft-stopidx-v1/${dirTag(dir)}"
+      val idxDir = s"/tmp/graft-stopidx-v2/${dirTag(dir)}"
       val sub = docsDf(s, dir).filter(col("doc_id") < 300)
       graft.index.IndexBuild.buildFromTable(s, sub,
         docIdCol = "doc_id", contentCol = "text", langCol = "lang",
@@ -377,7 +377,7 @@ object SparkEntry {
     }),
     // ---- federated multi-index search (weighted score merge) -----------
     "q_federation" -> ((s, dir) => {
-      val base = s"/tmp/graft-fedidx-v1/${dirTag(dir)}"
+      val base = s"/tmp/graft-fedidx-v2/${dirTag(dir)}"
       val cfg = graft.index.IndexConfig(docsPerShard = 256, termBuckets = 4,
         blockSize = 128, numPartitions = 8)
       val d = docsDf(s, dir)
@@ -399,8 +399,8 @@ object SparkEntry {
     // ---- dump export -> import -> search roundtrip (S5) ----------------
     "q_dump" -> ((s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
-      val dumpDir = s"/tmp/graft-dump-v1/$tag"
-      val impDir = s"/tmp/graft-dumpidx-v1/$tag"
+      val dumpDir = s"/tmp/graft-dump-v2/$tag"
+      val impDir = s"/tmp/graft-dumpidx-v2/$tag"
       graft.index.Dump.exportDump(s, DocIndex.engine(s, dir).indexDir, dumpDir)
       graft.index.Dump.importDump(s, dumpDir, impDir,
         graft.index.IndexConfig(numPartitions = 8))

@@ -76,6 +76,23 @@ object IndexBuild {
   def bucketOf(term: String, buckets: Int): Int =
     math.floorMod(term.hashCode, buckets)
 
+  /** Pseudo-term carrying the per-document token count (`len`, the BM25
+    * norm) through the SAME tokenize pass / shuffle that builds the
+    * postings or positions — the index build tokenizes each document
+    * exactly ONCE (a second countTokens pass over 10^12 files would
+    * double the build's dominant CPU+bandwidth cost). The NUL
+    * prefix cannot be produced by the tokenizer, so it can never
+    * collide with a real term or appear in a query. */
+  final val LenTerm = "\u0000len"
+
+  /** Build-side bucket assignment: [[LenTerm]] gets its own partition
+    * directory `bucket=<termBuckets>` (one past the real range), so the
+    * doclen extraction is a pure partition-pruned read and the sentinel
+    * rows are physically DELETED from the table afterwards — query-side
+    * consumers never see them. */
+  def bucketOfIndexed(term: String, buckets: Int): Int =
+    if (term == LenTerm) buckets else bucketOf(term, buckets)
+
   /** Pack one (docId, tf) posting entry into a single long — the
     * posting shuffle ships (term, key) rows only: `shard` is derivable
     * (docId / docsPerShard) and `bucket` is a function of the term, so
@@ -125,6 +142,15 @@ object IndexBuild {
     else docs0
   }
 
+  /** [[liveDocs]] with the `len` column re-attached from the narrow
+    * doclen table (docs/ no longer stores it physically; pre-doclen
+    * index layouts that do pass through unchanged). */
+  def liveDocsWithLen(spark: SparkSession, indexDir: String): DataFrame = {
+    val live = liveDocs(spark, indexDir)
+    if (live.columns.contains("len")) live
+    else live.join(spark.read.parquet(s"$indexDir/doclen"), Seq("docId"))
+  }
+
   /** Per-doc tokenize + aggregate: one TermDoc row per distinct term.
     * Stop words are skipped but still advanced positions (tokenize
     * already assigned them). */
@@ -153,17 +179,22 @@ object IndexBuild {
     // per-partition counts + offset broadcast (a global Window would
     // serialize on one partition; this is the scalable 2-pass rank).
     Lineage.stage(spark, indexDir, "docs") {
-      // RDD here on purpose: two jobs over the SAME sorted RDD reuse its
-      // shuffle map outputs (the count pass materializes them, the write
-      // pass skips the exchange). A Dataset .persist would instead build
-      // a columnar in-memory cache — measured as the dominant build cost
-      // (CompressibleColumnBuilder burning 30+ cpu-sec on the content
-      // strings at local[32]).
-      val sortedRdd = corpus
+      // InternalRow RDD here on purpose: two jobs over the SAME sorted
+      // RDD reuse its shuffle map outputs (the count pass materializes
+      // them, the write pass skips the exchange), and counting
+      // UnsafeRows never decodes the content strings — a Dataset
+      // .persist would instead build a columnar in-memory cache,
+      // measured as the dominant build cost (CompressibleColumnBuilder
+      // burning 30+ cpu-sec on the content strings at local[32]).
+      val sortedDf = corpus.toDF()
         .repartitionByRange(cfg.numPartitions, $"repo", $"path", $"commit")
         .sortWithinPartitions($"repo", $"path", $"commit")
-        .as[SourceFile]
-        .rdd
+      val schema = sortedDf.schema
+      val (iRepo, iPath, iCommit, iLang, iContent) = (
+        schema.fieldIndex("repo"), schema.fieldIndex("path"),
+        schema.fieldIndex("commit"), schema.fieldIndex("lang"),
+        schema.fieldIndex("content"))
+      val sortedRdd = sortedDf.queryExecution.toRdd
       val counts = sortedRdd
         .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size)))
         .collect().sortBy(_._1).map(_._2)
@@ -172,7 +203,7 @@ object IndexBuild {
       spark.createDataFrame(
         sortedRdd.mapPartitionsWithIndex { (pid, it) =>
           var id = bOffsets.value(pid)
-          it.map { f =>
+          it.map { r =>
             // per-index cap: docids are Int (2.1B docs / index); beyond
             // that, shard into multiple indexes and merge results via
             // search.Federation (the multi-index sharding story). Fail
@@ -181,16 +212,15 @@ object IndexBuild {
             require(id <= Int.MaxValue,
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
-            val len = Tokenizer.countTokens(f.content, tok)
-            val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
-              f.commit, f.lang, f.content, Sha.hex(f.content), len)
+            val content = r.getString(iContent)
+            val row = org.apache.spark.sql.Row(id.toInt, r.getString(iRepo),
+              r.getString(iPath), r.getString(iCommit), r.getString(iLang),
+              content, Sha.hex(content))
             id += 1
-            r
+            row
           }
         },
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "docId INT, repo STRING, path STRING, commit STRING, lang STRING, " +
-            "content STRING, content_sha256 STRING, len INT"))
+        org.apache.spark.sql.types.StructType.fromDDL(DocsSchemaDdl))
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       // per-partition lineage from the offsets themselves — no read-back
       val rows = counts.zipWithIndex.collect { case (c, p) if c > 0 =>
@@ -202,35 +232,93 @@ object IndexBuild {
     }
     val docsDf = spark.read.parquet(s"$indexDir/docs")
 
-    // ---- stage(s): postings -------------------------------------------
-    val blockSize = cfg.blockSize
+    // ---- the ONE tokenize pass + downstream stages ---------------------
+    // The corpus content is tokenized exactly once per build: the token
+    // stream flows into EITHER the positions table (when enabled; the
+    // postings then derive from a narrow (term, docId, tf) scan of it)
+    // OR straight into the posting shuffle. Per-doc token counts ride
+    // along as [[LenTerm]] sentinel rows and land in doclen/.
     val dps = cfg.docsPerShard
     val tb = cfg.termBuckets
     val stop = cfg.stopWords
-    // the shuffle ships exactly (term, packed docId|tf): see [[packKey]]
-    def termDocKeys: Dataset[(String, Long)] = docsDf.select($"docId", $"content")
-      .as[(Int, String)]
-      .flatMap { case (id, c) =>
-        termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
-      }
-    def encoded(ds: Dataset[(String, Long)]): DataFrame =
-      encodeBlocks(ds.toDF("term", "key"), cfg)
 
-    if (cfg.bucketWaves) {
-      (0 until tb).foreach { b =>
-        Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
-          encoded(termDocKeys.filter(t => bucketOf(t._1, tb) == b)).drop("bucket")
-            .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
-          postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
+    if (cfg.positions) {
+      // positions FIRST (single tokenize; per-doc grouping is doc-local,
+      // so the only shuffle is the by-term repartition for the write)
+      Lineage.stage(spark, indexDir, "positions") {
+        docsDf.select($"docId", $"content").as[(Int, String)]
+          .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) }
+          .toDF(PositionsCols: _*)
+          .repartition(cfg.numPartitions, $"term")
+          .sortWithinPartitions($"term", $"docId")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/positions")
+        Nil
+      }
+      doclenStage(spark, indexDir, cfg, fromPositions = true)
+      // postings derive from a narrow column-pruned (term, docId, tf)
+      // scan of the committed positions — never a second tokenize
+      def termKeys(b: Option[Int]): DataFrame = {
+        val base = spark.read.parquet(s"$indexDir/positions")
+        b.fold(base.filter($"bucket" =!= tb))(bb => base.filter($"bucket" === bb))
+          .select($"term", packKeyCol($"docId", $"tf").as("key"))
+      }
+      if (cfg.bucketWaves) {
+        (0 until tb).foreach { b =>
+          Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
+            encodeBlocks(termKeys(Some(b)), cfg).drop("bucket")
+              .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
+            postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
+          }
+        }
+      } else {
+        Lineage.stage(spark, indexDir, "postings") {
+          encodeBlocks(termKeys(None), cfg)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$indexDir/postings")
+          postingLineage(spark, s"$indexDir/postings", "postings")
         }
       }
     } else {
-      Lineage.stage(spark, indexDir, "postings") {
-        encoded(termDocKeys)
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/postings")
-        postingLineage(spark, s"$indexDir/postings", "postings")
+      // no positions: the tokenize pass feeds the posting shuffle
+      // directly; sentinel len rows ride the same shuffle
+      def termDocKeys: Dataset[(String, Long)] = docsDf.select($"docId", $"content")
+        .as[(Int, String)]
+        .flatMap { case (id, c) =>
+          val toks = Tokenizer.tokenize(c, tok)
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+          toks.foreach { t =>
+            if (stop.isEmpty || !stop.contains(t.term))
+              m.update(t.term, m.getOrElse(t.term, 0) + 1)
+          }
+          m.iterator.map { case (term, tf) => (term, packKey(id, tf)) } ++
+            Iterator.single((LenTerm, packKey(id, toks.length)))
+        }
+      def encoded(ds: Dataset[(String, Long)]): DataFrame =
+        encodeBlocks(ds.toDF("term", "key"), cfg)
+
+      if (cfg.bucketWaves) {
+        (0 until tb).foreach { b =>
+          Lineage.stage(spark, indexDir, s"postings_bucket_$b") {
+            encoded(termDocKeys.filter(t => bucketOfIndexed(t._1, tb) == b)).drop("bucket")
+              .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$b")
+            postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
+          }
+        }
+        Lineage.stage(spark, indexDir, s"postings_bucket_len") {
+          encoded(termDocKeys.filter(_._1 == LenTerm)).drop("bucket")
+            .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$tb")
+          Nil
+        }
+      } else {
+        Lineage.stage(spark, indexDir, "postings") {
+          encoded(termDocKeys)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$indexDir/postings")
+          postingLineage(spark, s"$indexDir/postings", "postings")
+        }
       }
+      doclenStage(spark, indexDir, cfg, fromPositions = false)
     }
 
     // ---- stage: dict — derived from posting-block metadata -------------
@@ -238,20 +326,11 @@ object IndexBuild {
     // pruned scan of what was just committed; no extra shuffle over the
     // token stream, and the dict provably agrees with the postings.
     Lineage.stage(spark, indexDir, "dict") {
-      spark.read.parquet(s"$indexDir/postings")
-        .groupBy($"term")
-        .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
-        // len supports predicate-pushdown length-band loads (TermDict):
-        // typo expansion reads only |len(t)-len(w)| <= budget rows
-        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
-          length($"term").as("len"))
-        .write.mode("overwrite").parquet(s"$indexDir/dict")
+      writeDict(spark, indexDir)
       Nil
     }
 
-    // ---- stage: stats -- derived without scanning the corpus: N from
-    // the docs lineage (the id-assignment counts), total tokens = Σ cf
-    // over the (small) dictionary, avgdl = tokens / N
+    // ---- stage: stats — N and Σlen from the (narrow) doclen table ------
     Lineage.stage(spark, indexDir, "stats") {
       writeStats(spark, indexDir, cfg)
       // persist the stop-word setting so the query side agrees with the
@@ -261,26 +340,104 @@ object IndexBuild {
           .write.mode("overwrite").parquet(s"$indexDir/stopwords")
       Nil
     }
+  }
 
-    // ---- optional stage: word positions (one shuffle+write) ------------
-    if (cfg.positions) {
-      Lineage.stage(spark, indexDir, "positions") {
-        docsDf.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) =>
-            Tokenizer.tokenize(c, tok).iterator
-              .filter(t => stop.isEmpty || !stop.contains(t.term))
-              .toSeq.groupBy(_.term).iterator.map {
-                case (term, toks) =>
-                  (term, id, toks.map(t => math.min(t.pos, 0xffff)).toArray, bucketOf(term, tb))
-              }
-          }.toDF("term", "docId", "positions", "bucket")
-          .repartition(cfg.numPartitions, $"term")
-          .sortWithinPartitions($"term", $"docId")
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/positions")
-        Nil
+  /** docs/ schema (the `len` column of earlier layouts now lives in the
+    * narrow doclen/ table — SearchEngine.docs re-attaches it). */
+  final val DocsSchemaDdl =
+    "docId INT, repo STRING, path STRING, commit STRING, lang STRING, " +
+      "content STRING, content_sha256 STRING"
+
+  final val PositionsCols: Seq[String] =
+    Seq("term", "docId", "positions", "tf", "bucket")
+
+  /** One document's position-table rows from ONE tokenize call: per-term
+    * occurrence positions (stop words excluded, positions clamped to
+    * 0xffff, `tf` = occurrence count so postings derive without reading
+    * the arrays) followed by the [[LenTerm]] sentinel whose tf is the
+    * FULL token count including stop words (the BM25 `len` norm).
+    * `fields` are tokenized in fid order; positions carry fid<<16 for
+    * multi-field (reference lib.rs:201-208). */
+  def positionRowsOf(docId: Int, fields: Seq[String], stop: Set[String],
+                     tok: Tokenizer.TokSettings, termBuckets: Int)
+      : Iterator[(String, Int, Array[Int], Int, Int)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, ArrayBuffer[Int]]
+    var total = 0
+    var fid = 0
+    fields.foreach { f =>
+      val toks = Tokenizer.tokenize(f, tok)
+      total += toks.length
+      toks.foreach { t =>
+        if (stop.isEmpty || !stop.contains(t.term))
+          m.getOrElseUpdate(t.term, new ArrayBuffer[Int]) +=
+            ((fid << 16) | math.min(t.pos, 0xffff))
       }
+      fid += 1
     }
+    m.iterator.map { case (term, ps) =>
+      (term, docId, ps.toArray, ps.length, bucketOfIndexed(term, termBuckets))
+    } ++ Iterator.single((LenTerm, docId, Array(total), total, termBuckets))
+  }
+
+  /** Extract the per-doc token counts from the sentinel partition
+    * (`bucket=<termBuckets>` of positions/ or postings/) into the narrow
+    * doclen/ table (docId, len), then DELETE the sentinel partition.
+    * Idempotent under kill/resume: the extraction is an overwrite and
+    * runs only while the sentinel partition still exists. */
+  private def doclenStage(spark: SparkSession, indexDir: String,
+                          cfg: IndexConfig, fromPositions: Boolean): Unit = {
+    import spark.implicits._
+    Lineage.stage(spark, indexDir, "doclen") {
+      val src = if (fromPositions) "positions" else "postings"
+      val sentinelDir = new org.apache.hadoop.fs.Path(
+        s"$indexDir/$src/bucket=${cfg.termBuckets}")
+      val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sentinelDir)) {
+        val lens =
+          if (fromPositions)
+            spark.read.parquet(sentinelDir.toString)
+              .select($"docId", $"tf".as("len"))
+          else
+            spark.read.parquet(sentinelDir.toString)
+              .select($"docBytes", $"tfBytes")
+              .as[(Array[Byte], Array[Byte])]
+              .flatMap { case (db, tfb) =>
+                VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
+              }
+              .toDF("docId", "len")
+        lens.repartitionByRange(
+            math.max(1, cfg.numPartitions / 4), $"docId")
+          .sortWithinPartitions($"docId")
+          .write.mode("overwrite").parquet(s"$indexDir/doclen")
+        fs.delete(sentinelDir, true): Unit
+      } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/doclen"))) {
+        // no sentinel partition and no doclen yet: either an index built
+        // by a pre-doclen layout being resumed in place (docs/ still
+        // carries the len column — derive from it), or a genuinely empty
+        // corpus (commit an empty doclen so stats/readers work)
+        val docs0 = spark.read.parquet(s"$indexDir/docs")
+        (if (docs0.columns.contains("len")) docs0.select($"docId", $"len")
+         else docs0.select($"docId", lit(0).cast("int").as("len")).limit(0))
+          .write.mode("overwrite").parquet(s"$indexDir/doclen")
+      }
+      Nil
+    }: Unit
+  }
+
+  /** dict/ from a column-pruned posting-metadata scan (shared by build
+    * and append; the [[LenTerm]] filter is pure defense — the sentinel
+    * partition is extracted and deleted before dict derivation). */
+  private def writeDict(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/postings")
+      .filter($"term" =!= LenTerm)
+      .groupBy($"term")
+      .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
+      // len supports predicate-pushdown length-band loads (TermDict):
+      // typo expansion reads only |len(t)-len(w)| <= budget rows
+      .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
+        length($"term").as("len"))
+      .write.mode("overwrite").parquet(s"$indexDir/dict")
   }
 
   /** Incremental append (reference U1 del/add delta indexing,
@@ -323,8 +480,7 @@ object IndexBuild {
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
             val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
-              f.commit, f.lang, f.content, Sha.hex(f.content),
-              Tokenizer.countTokens(f.content, tok))
+              f.commit, f.lang, f.content, Sha.hex(f.content))
             id += 1
             r
           }
@@ -349,46 +505,77 @@ object IndexBuild {
         .agg(min($"docidMin"), max($"docidMax")).collect()(0)
       if (!range.isNullAt(0)) {
         val (lo, hi) = (range.getInt(0), range.getInt(1))
-        val dps = cfg.docsPerShard
         val tb = cfg.termBuckets
         val deltaDocs = spark.read.parquet(s"$indexDir/docs")
           .filter($"docId".between(lo, hi))
         val stop = cfg.stopWords
+        // ONE tokenize pass over the delta: position rows (when enabled)
+        // or term keys, with sentinel len rows riding the same shuffle
         val staging = s"$indexDir/_stage_postings_$batchId"
-        deltaDocs.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) =>
-            termDocsOf(id, c, stop, tok).map(td => (td.term, packKey(td.docId, td.tf)))
-          }
-          .toDF("term", "key")
-          .transform(encodeBlocks(_, cfg))
-          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
         if (cfg.positions) {
           val pstaging = s"$indexDir/_stage_positions_$batchId"
           deltaDocs.select($"docId", $"content").as[(Int, String)]
-            .flatMap { case (id, c) =>
-              Tokenizer.tokenize(c, tok).iterator
-                .filter(t => stop.isEmpty || !stop.contains(t.term))
-                .toSeq.groupBy(_.term).iterator.map {
-                  case (term, toks) =>
-                    (term, id, toks.map(t => math.min(t.pos, 0xffff)).toArray, bucketOf(term, tb))
-                }
-            }.toDF("term", "docId", "positions", "bucket")
+            .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) }
+            .toDF(PositionsCols: _*)
             .repartition(math.max(1, cfg.numPartitions / 2), $"term")
+            .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").partitionBy("bucket").parquet(pstaging)
+          // postings delta from the STAGED positions (narrow scan, no
+          // second tokenize); the sentinel partition is not published
+          spark.read.parquet(pstaging).filter($"bucket" =!= tb)
+            .select($"term", packKeyCol($"docId", $"tf").as("key"))
+            .transform(encodeBlocks(_, cfg))
+            .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+          val lstaging = s"$indexDir/_stage_doclen_$batchId"
+          spark.read.parquet(s"$pstaging/bucket=$tb")
+            .select($"docId", $"tf".as("len"))
+            .repartition(1)
+            .write.mode("overwrite").parquet(lstaging)
+          Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          val sfs = new org.apache.hadoop.fs.Path(pstaging)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          sfs.delete(new org.apache.hadoop.fs.Path(s"$pstaging/bucket=$tb"), true)
+          Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
           Lineage.publishAppend(spark, pstaging, s"$indexDir/positions", s"b$batchId")
+        } else {
+          deltaDocs.select($"docId", $"content").as[(Int, String)]
+            .flatMap { case (id, c) =>
+              val toks = Tokenizer.tokenize(c, tok)
+              val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+              toks.foreach { t =>
+                if (stop.isEmpty || !stop.contains(t.term))
+                  m.update(t.term, m.getOrElse(t.term, 0) + 1)
+              }
+              m.iterator.map { case (term, tf) => (term, packKey(id, tf)) } ++
+                Iterator.single((LenTerm, packKey(id, toks.length)))
+            }
+            .toDF("term", "key")
+            .transform(encodeBlocks(_, cfg))
+            .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+          // extract the sentinel partition into a doclen delta, then
+          // publish only the real posting buckets
+          val lstaging = s"$indexDir/_stage_doclen_$batchId"
+          spark.read.parquet(s"$staging/bucket=$tb")
+            .select($"docBytes", $"tfBytes")
+            .as[(Array[Byte], Array[Byte])]
+            .flatMap { case (db, tfb) =>
+              VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
+            }
+            .toDF("docId", "len")
+            .repartition(1)
+            .write.mode("overwrite").parquet(lstaging)
+          Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          val sfs = new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          sfs.delete(new org.apache.hadoop.fs.Path(s"$staging/bucket=$tb"), true)
+          Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
         }
       }
       Nil
     }
 
     // dict + stats derive from committed data: recompute (overwrite)
-    spark.read.parquet(s"$indexDir/postings")
-      .groupBy($"term")
-      .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
-      .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
-        length($"term").as("len"))
-      .write.mode("overwrite").parquet(s"$indexDir/dict")
+    writeDict(spark, indexDir)
     writeStats(spark, indexDir, cfg)
   }
 
@@ -432,7 +619,9 @@ object IndexBuild {
   def buildFacetIndex(spark: SparkSession, indexDir: String,
                       cols: Seq[String], numPartitions: Int = 4): Unit = {
     import spark.implicits._
-    val live = liveDocs(spark, indexDir)
+    val live =
+      if (cols.contains("len")) liveDocsWithLen(spark, indexDir)
+      else liveDocs(spark, indexDir)
     cols.foreach { c =>
       live.groupBy(col(c).as("value"))
         .agg(count(lit(1)).as("n"),
@@ -567,17 +756,17 @@ object IndexBuild {
       .as[graft.corpus.SourceFile], outDir, cfg)
   }
 
-  /** stats table: one column-pruned (docId, len) scan over the doc
-    * store. Tombstoned docs stay counted (Lucene semantics — see
-    * [[delete]]); [[compact]] is where statistics shrink to live. */
+  /** stats table: one scan of the narrow doclen table. Tombstoned docs
+    * stay counted (Lucene semantics — see [[delete]]); [[compact]] is
+    * where statistics shrink to live. */
   private def writeStats(spark: SparkSession, indexDir: String,
                          cfg: IndexConfig): Unit = {
     import spark.implicits._
-    // avgdl from the docs len column, NOT from dict cf sums: with stop
+    // avgdl from the doclen table, NOT from dict cf sums: with stop
     // words the dictionary undercounts tokens while `len` (the BM25
     // norm) counts them all — avgdl must match len's definition or
     // norms skew
-    val row = spark.read.parquet(s"$indexDir/docs").select($"len")
+    val row = spark.read.parquet(s"$indexDir/doclen").select($"len")
       .agg(count(lit(1)), coalesce(sum($"len"), lit(0L))).collect()(0)
     val n = row.getLong(0)
     val tokens = row.getLong(1)
@@ -624,6 +813,9 @@ object IndexBuild {
     // post-docs stages. To keep one code path we pre-commit the docs
     // stage here.
     Lineage.stage(spark, indexDir, "docs") {
+      // pure-column projection (sha2 is codegen'd and equals Sha.hex:
+      // both are lowercase-hex SHA-256 of the UTF-8 bytes); no tokenize
+      // here — the shared post-docs stages do the single tokenize pass
       df.select(
           col(docIdCol).cast("int").as("docId"),
           col(sourceCol).cast("string").as("repo"),
@@ -631,13 +823,7 @@ object IndexBuild {
           lit("").as("commit"),
           col(langCol).cast("string").as("lang"),
           col(contentCol).cast("string").as("content"))
-        .as[(Int, String, String, String, String, String)]
-        .map { case (id, repo, path, commit, lang, content) =>
-          (id, repo, path, commit, lang, content, Sha.hex(content),
-            Tokenizer.countTokens(content, cfg.tokenizer))
-        }
-        .toDF("docId", "repo", "path", "commit", "lang", "content",
-          "content_sha256", "len")
+        .withColumn("content_sha256", sha2($"content", 256))
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       lineageOf(spark, s"$indexDir/docs", "docId")
     }
@@ -683,68 +869,45 @@ object IndexBuild {
             concat.as("content") +:
             fieldCols.map(c => col(c).cast("string").as(c)): _*)
         .withColumn("content_sha256", sha2($"content", 256))
-        .withColumn("len", udf((r: org.apache.spark.sql.Row) =>
-          fieldCols.indices.map(i => Tokenizer.countTokens(r.getString(i), cfg.tokenizer)).sum
-        ).apply(struct(fieldCols.map(col): _*)))
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       lineageOf(spark, s"$indexDir/docs", "docId")
     }
     val docsDf = spark.read.parquet(s"$indexDir/docs")
-    val dps = cfg.docsPerShard
     val tb = cfg.termBuckets
     val stop = cfg.stopWords
     val tok = cfg.tokenizer
-    val nf = fieldCols.size
 
-    // tokenize each field with fid-encoded positions (variable arity →
-    // Row access, one narrow pass shared by both derived tables)
-    def tokenRows = docsDf.select(($"docId" +: fieldCols.map(col)): _*).rdd
-      .flatMap { r =>
-        val id = r.getInt(0)
-        (0 until nf).iterator.flatMap { fid =>
-          val text = r.getString(1 + fid)
-          Tokenizer.tokenize(text, tok).iterator
-            .filter(t => stop.isEmpty || !stop.contains(t.term))
-            .map(t => (t.term, id, (fid << 16) | math.min(t.pos, 0xffff)))
-        }
-      }
-
-    Lineage.stage(spark, indexDir, "postings") {
-      spark.createDataFrame(tokenRows.map { case (term, id, _) =>
-          org.apache.spark.sql.Row(term, id)
-        }, org.apache.spark.sql.types.StructType.fromDDL("term STRING, docId INT"))
-        .groupBy($"term", $"docId").agg(count(lit(1)).cast("int").as("tf"))
-        .select($"term", packKeyCol($"docId", $"tf").as("key"))
-        .transform(encodeBlocks(_, cfg))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
-      postingLineage(spark, s"$indexDir/postings", "postings")
-    }
-
+    // ---- the ONE tokenize pass: every field of every doc exactly once.
+    // Per-doc grouping is doc-local (no groupBy shuffle); positions carry
+    // fid<<16; the sentinel len row counts tokens across ALL fields
+    // (including stop words — the BM25 norm). Postings then derive from
+    // a narrow (term, docId, tf) scan of the committed positions.
     Lineage.stage(spark, indexDir, "positions") {
-      spark.createDataFrame(tokenRows.map { case (term, id, p) =>
-          org.apache.spark.sql.Row(term, id, p)
-        }, org.apache.spark.sql.types.StructType.fromDDL(
-          "term STRING, docId INT, pos INT"))
-        .groupBy($"term", $"docId")
-        .agg(sort_array(collect_list($"pos")).as("positions"))
-        // typed map (not a ScalaUDF) for the bucket: same JLS-stable
-        // String.hashCode as the query side
-        .as[(String, Int, Array[Int])]
-        .map { case (t, d, ps) => (t, d, ps, bucketOf(t, tb)) }
-        .toDF("term", "docId", "positions", "bucket")
+      docsDf
+        .select($"docId",
+          array(fieldCols.map(c => coalesce(col(c), lit(""))): _*).as("fs"))
+        .as[(Int, Seq[String])]
+        .flatMap { case (id, fs) => positionRowsOf(id, fs, stop, tok, tb) }
+        .toDF(PositionsCols: _*)
         .repartition(cfg.numPartitions, $"term")
         .sortWithinPartitions($"term", $"docId")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/positions")
       Nil
     }
+    doclenStage(spark, indexDir, cfg, fromPositions = true)
+
+    Lineage.stage(spark, indexDir, "postings") {
+      encodeBlocks(
+        spark.read.parquet(s"$indexDir/positions")
+          .filter($"bucket" =!= tb)
+          .select($"term", packKeyCol($"docId", $"tf").as("key")),
+        cfg)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
+      postingLineage(spark, s"$indexDir/postings", "postings")
+    }
 
     Lineage.stage(spark, indexDir, "dict") {
-      spark.read.parquet(s"$indexDir/postings")
-        .groupBy($"term")
-        .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
-        .select($"term", xxhash64($"term").as("termId"), $"df", $"cf",
-          length($"term").as("len"))
-        .write.mode("overwrite").parquet(s"$indexDir/dict")
+      writeDict(spark, indexDir)
       Nil
     }
     Lineage.stage(spark, indexDir, "stats") {
@@ -776,7 +939,7 @@ object IndexBuild {
                  keyDoc(it.head._2) / docsPerShard == shard) {
             val k = it.next()._2; docIds += keyDoc(k); tfs += keyTf(k)
           }
-          val bucket = bucketOf(term, termBuckets)
+          val bucket = bucketOfIndexed(term, termBuckets)
           out = docIds.grouped(blockSize).zip(tfs.grouped(blockSize))
             .zipWithIndex.map { case ((ds, ts), bid) =>
               val da = ds.toArray; val ta = ts.toArray
@@ -808,6 +971,7 @@ object IndexBuild {
                              stage: String): Seq[LineageRow] = {
     import spark.implicits._
     spark.read.parquet(dir)
+      .filter($"term" =!= LenTerm) // lineage describes real postings only
       .select($"shard", $"term", $"firstDoc", $"lastDoc", $"count", $"encBytes")
       .groupBy($"shard").agg(
         min($"firstDoc").as("lo"), max($"lastDoc").as("hi"),

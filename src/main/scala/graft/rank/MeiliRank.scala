@@ -386,9 +386,9 @@ final class MeiliRank(engine: SearchEngine,
     val (filtered, sortCols, n) = scoredUniverse(q, filterExpr, sortBy,
       lastIsPrefix, strategy, scoreThreshold, searchOnFids, rankingRules)
     if (n == 0)
-      return engine.docs.limit(0)
+      return engine.docsRaw.limit(0)
         .select($"docId", lit(0).as("rankingScore"))
-    val withMeta = filtered.join(engine.docs.drop("len"), Seq("docId"))
+    val withMeta = filtered.join(engine.docsRaw.drop("len"), Seq("docId"))
     val ordered = distinct match {
       case Some(dcol) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -504,7 +504,7 @@ final class MeiliRank(engine: SearchEngine,
     // exactness: whole-attribute exact (len == n and phrase at pos 0),
     // starts-with, other
     val phraseStart = withPos
-      .join(engine.docs.select($"docId", $"len"), Seq("docId"))
+      .join(engine.doclen, Seq("docId"))
       .withColumn("startsWithQuery",
         $"wordsRank" === n && $"exactWords" === n && $"firstSlotPos" === 0 &&
           $"proxCost" <= (n - 1)) // all pairs adjacent

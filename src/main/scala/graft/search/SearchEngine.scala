@@ -125,7 +125,28 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   private def liveOnly(df: DataFrame): DataFrame =
     deletedDf.fold(df)(d => df.join(broadcast(d), Seq("docId"), "left_anti"))
 
-  def docs: DataFrame = liveOnly(spark.read.parquet(s"$indexDir/docs"))
+  /** Doc store WITHOUT the derived `len` column (unless the index is an
+    * old layout that stored it physically) — the cheap view for paths
+    * that don't need the BM25 norm. */
+  lazy val docsRaw: DataFrame = liveOnly(spark.read.parquet(s"$indexDir/docs"))
+
+  /** Narrow (docId, len) table — the BM25-norm lookup side. Reads the
+    * dedicated doclen/ parquet (written by the build's single tokenize
+    * pass); falls back to the docs `len` column for pre-doclen layouts. */
+  lazy val doclen: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/doclen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) liveOnly(spark.read.parquet(s"$indexDir/doclen"))
+    else docsRaw.select($"docId", $"len")
+  }
+
+  /** Full doc view including `len` (joined from [[doclen]] when the
+    * layout keeps it separate) — the back-compat surface for filters,
+    * facets and field distribution; hot paths use [[doclen]]/[[docsRaw]]
+    * directly. */
+  lazy val docs: DataFrame =
+    if (docsRaw.columns.contains("len")) docsRaw
+    else docsRaw.join(doclen, Seq("docId"))
 
   /** Dictionary-resolved QueryTerms for already-tokenized terms. */
   def termsOf(ts: Seq[String]): Seq[QueryTerm] = {
@@ -236,7 +257,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     // materializes per-doc posting rows at all).
     val joined = universe.join(broadcast(idfDf), Seq("term"))
     val postingRows = terms.map(_.df).sum
-    val withLen = docs.select($"docId", $"len")
+    val withLen = doclen
       .join(if (postingRows <= broadcastDfCap) broadcast(joined) else joined,
         Seq("docId"))
       .withColumn("tscore", $"idf" * $"tf" * lit(BM25.K1 + 1.0) /
@@ -308,7 +329,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
         $"docBytes", $"tfBytes", $"blockMaxTf")
       .as[Wand.Block]
     val dps = docsPerShard
-    val lens = docs.select(($"docId" / dps).cast("int").as("shard"),
+    val lens = doclen.select(($"docId" / dps).cast("int").as("shard"),
       $"docId", $"len").as[(Int, Int, Int)]
     val hits = blocks.groupByKey(_.shard).cogroup(lens.groupByKey(_._1)) {
       (shard, bs, ls) =>
@@ -348,10 +369,15 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * definition of the count/tie-order/limit semantics). */
   def facetCountsOver(universe: DataFrame, facetCol: String,
                       maxValues: Int = 100): DataFrame =
-    docs.join(universe.select($"docId"), Seq("docId"), "left_semi")
+    docsFor(facetCol).join(universe.select($"docId"), Seq("docId"), "left_semi")
       .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(facetCol).asc)
       .limit(maxValues)
+
+  /** Narrowest doc view that can serve column `c` (only `len` needs the
+    * doclen join). */
+  private def docsFor(c: String): DataFrame =
+    if (c == "len") docs else docsRaw
 
   /** Facet stats: numeric min/max over candidates (reference
     * facet_distribution.rs facet_stats). */
@@ -425,7 +451,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     require(words.nonEmpty)
     val ws = words.map(Tokenizer.normalize)
     val active = ws.zipWithIndex.filterNot { case (w, _) => stopWords.contains(w) }
-    if (active.isEmpty) return docs.select($"docId")
+    if (active.isEmpty) return docsRaw.select($"docId")
     val exploded = active.map { case (w, i) =>
       positionRows(Seq(w), fids).filter($"term" === w)
         .select($"docId", ($"pos" - i).as("p0"))
@@ -603,7 +629,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     // its own normalized query ('cafe'). UDF runs post-agg on ≤ distinct
     // facet values, not per doc.
     val normUdf = udf((s: String) => if (s == null) null else Tokenizer.normalize(s.trim))
-    val grouped = docs.join(broadcast(candidates(q)), Seq("docId"), "left_semi")
+    val grouped = docsFor(facetCol).join(broadcast(candidates(q)), Seq("docId"), "left_semi")
       .groupBy(col(facetCol).as("value"))
       .agg(count(lit(1)).as("n"))
       .withColumn("nv", normUdf(col("value")))
@@ -634,7 +660,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
                  conjunctive: Boolean = true): DataFrame = {
     val cand = filter.map(f => docs.filter(graft.query.FilterParser.parse(f)))
     val top = searchDF(q, k, conjunctive, cand)
-    top.join(docs, Seq("docId"))
+    top.join(docsRaw, Seq("docId"))
       .select($"docId", $"score", $"repo", $"path", $"commit", $"lang")
       .orderBy($"score".desc, $"docId".asc)
   }
