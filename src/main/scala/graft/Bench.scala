@@ -65,8 +65,11 @@ object Bench {
   private def buildOnce(cores: Int, n: Long, corpusDir: String): Double = {
     val spark = newSession(cores)
     import spark.implicits._
+    // storage-order ids: the reference's own arrival-order DocumentId
+    // semantic — id assignment is a zero-shuffle narrow pass instead of
+    // re-sorting the whole corpus through an exchange (BENCH.md)
     val cfg = IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
-      blockSize = 128, numPartitions = cores * 2)
+      blockSize = 128, numPartitions = cores * 2, storageOrderIds = true)
     val dir = s"/dev/shm/graft-bench-idx/${cores}c-${System.nanoTime()}"
     val corpus = spark.read.parquet(corpusDir)
       .select($"repo", $"path", $"commit", $"lang", $"content")
@@ -79,17 +82,21 @@ object Bench {
     sec
   }
 
-  /** Tiny untimed build to warm JIT + codegen caches (JVM-global). */
+  /** Tiny untimed build to warm JIT + codegen caches (JVM-global) —
+    * through the same storage-order file-backed path the timed builds
+    * take, so their codegen is warm too. */
   private def warmup(cpus: Int): Unit = {
     val spark = newSession(cpus)
     import spark.implicits._
     val dir = s"/dev/shm/graft-bench-idx/warm-${System.nanoTime()}"
+    CorpusGen.generate(spark, 20000).write.mode("overwrite").parquet(s"$dir-corpus")
     IndexBuild.build(spark,
-      CorpusGen.generate(spark, 20000).as[graft.corpus.SourceFile], dir,
+      spark.read.parquet(s"$dir-corpus").as[graft.corpus.SourceFile], dir,
       IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
-        blockSize = 128, numPartitions = cpus * 2))
+        blockSize = 128, numPartitions = cpus * 2, storageOrderIds = true))
     spark.stop()
     deleteRec(new java.io.File(dir))
+    deleteRec(new java.io.File(s"$dir-corpus"))
   }
 
   /** Hypervisor CPU-steal jiffies from /proc/stat (0 if unreadable). */

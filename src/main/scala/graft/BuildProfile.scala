@@ -28,19 +28,26 @@ object BuildProfile {
       }
     })
     import spark.implicits._
+    // pre-generated corpus parquet (untimed), matching the Bench shape
+    val storageOrder = !sys.env.get("SPARK_GRAFT_PROFILE_SORTED").contains("1")
+    val cdir = s"/dev/shm/profcorpus-$n"
+    if (!new java.io.File(s"$cdir/_SUCCESS").exists())
+      CorpusGen.generate(spark, n).write.mode("overwrite").parquet(cdir)
+    def corpus = spark.read.parquet(cdir)
+      .select($"repo", $"path", $"commit", $"lang", $"content")
+      .as[graft.corpus.SourceFile]
+    def cfg(np: Int) = IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
+      blockSize = 128, numPartitions = np, storageOrderIds = storageOrder)
     // warmup build (JIT): small n, separate dir
     val wdir = { new java.io.File("/dev/shm/profidx").mkdirs(); "/dev/shm/profidx/warm" + System.nanoTime() }
-    IndexBuild.build(spark, CorpusGen.generate(spark, 5000).as[graft.corpus.SourceFile],
-      wdir, IndexConfig(docsPerShard = 1 << 12, termBuckets = 4,
-        blockSize = 128, numPartitions = cores * 2))
+    IndexBuild.build(spark, corpus.limit(5000).as[graft.corpus.SourceFile],
+      wdir, cfg(cores * 2))
     println("WARMUP done")
     (1 to 2).foreach { r =>
       val dir = "/dev/shm/profidx/main" + System.nanoTime()
       val t0 = System.nanoTime()
-      val corpus = CorpusGen.generate(spark, n).as[graft.corpus.SourceFile]
-      IndexBuild.build(spark, corpus, dir, IndexConfig(docsPerShard = 1 << 12,
-        termBuckets = 4, blockSize = 128, numPartitions = cores * 2))
-      println(f"TOTAL[$r] ${(System.nanoTime()-t0)/1e9}%.2fs cores=$cores n=$n")
+      IndexBuild.build(spark, corpus, dir, cfg(cores * 2))
+      println(f"TOTAL[$r] ${(System.nanoTime()-t0)/1e9}%.2fs cores=$cores n=$n storageOrder=$storageOrder")
     }
     spark.stop()
   }

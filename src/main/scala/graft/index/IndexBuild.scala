@@ -32,6 +32,17 @@ import graft.functions.{BM25, Tokenizer, VByte}
   *   advances the position counter) and doc `len` still counts it —
   *   reference semantics: stop words keep positions but are not indexed
   *   as terms (parse_query.rs:311-318, settings stop_words). */
+/** @param storageOrderIds assign docids in CORPUS STORAGE ORDER (input
+  *   file path asc, then row order within the file) instead of globally
+  *   sorting by (repo, path, commit). This is the reference's own
+  *   semantic — Meilisearch numbers documents by arrival order, not by
+  *   key (documents/mod.rs DocumentId assignment) — and at 10^12 files
+  *   it is the only sane ingest plan: id assignment becomes a zero-
+  *   shuffle narrow pass (ids = per-file offset + `_metadata.row_index`)
+  *   instead of a full re-sort of the corpus through one exchange
+  *   (3 passes of every content byte over the wire). Requires a
+  *   file-backed corpus (parquet/json scan); falls back to the sorted
+  *   path otherwise. Ids remain deterministic: same files, same ids. */
 final case class IndexConfig(
     docsPerShard: Int = 1 << 14,
     termBuckets: Int = 8,
@@ -40,7 +51,8 @@ final case class IndexConfig(
     bucketWaves: Boolean = false,
     positions: Boolean = false,
     stopWords: Set[String] = Set.empty,
-    tokenizer: Tokenizer.TokSettings = Tokenizer.TokSettings.Default)
+    tokenizer: Tokenizer.TokSettings = Tokenizer.TokSettings.Default,
+    storageOrderIds: Boolean = false)
 
 /** Inverted-index builder: the Spark-first re-expression of the
   * reference's document-indexing pipeline (reference:
@@ -171,14 +183,22 @@ object IndexBuild {
 
   def build(spark: SparkSession, corpus: Dataset[SourceFile], indexDir: String,
             cfg: IndexConfig = IndexConfig()): Unit = {
-    import spark.implicits._
-    val tok = cfg.tokenizer
-
-    // ---- stage: docs = docid assignment + doc store in one shuffle ----
-    // Dense docids by global (repo, path, commit) rank: range-shuffle +
-    // per-partition counts + offset broadcast (a global Window would
-    // serialize on one partition; this is the scalable 2-pass rank).
+    // ---- stage: docs = docid assignment + doc store -------------------
     Lineage.stage(spark, indexDir, "docs") {
+      val storageRows =
+        if (cfg.storageOrderIds) docsStorageOrder(spark, corpus, indexDir)
+        else None
+      storageRows.getOrElse(docsSortedOrder(spark, corpus, indexDir, cfg))
+    }
+    buildFromDocs(spark, indexDir, cfg)
+  }
+
+  /** Dense docids by global (repo, path, commit) rank: range-shuffle +
+    * per-partition counts + offset broadcast (a global Window would
+    * serialize on one partition; this is the scalable 2-pass rank). */
+  private def docsSortedOrder(spark: SparkSession, corpus: Dataset[SourceFile],
+                              indexDir: String, cfg: IndexConfig): Seq[LineageRow] = {
+    import spark.implicits._
       // InternalRow RDD here on purpose: two jobs over the SAME sorted
       // RDD reuse its shuffle map outputs (the count pass materializes
       // them, the write pass skips the exchange), and counting
@@ -229,16 +249,65 @@ object IndexBuild {
           java.time.Instant.now.toString)
       }
       rows.toIndexedSeq
-    }
-    val docsDf = spark.read.parquet(s"$indexDir/docs")
+  }
 
-    // ---- the ONE tokenize pass + downstream stages ---------------------
-    // The corpus content is tokenized exactly once per build: the token
-    // stream flows into EITHER the positions table (when enabled; the
-    // postings then derive from a narrow (term, docId, tf) scan of it)
-    // OR straight into the posting shuffle. Per-doc token counts ride
-    // along as [[LenTerm]] sentinel rows and land in doclen/.
-    val dps = cfg.docsPerShard
+  /** Storage-order docid assignment (cfg.storageOrderIds): ids follow
+    * (input file path asc, row index within file) — the reference's
+    * arrival-order DocumentId semantic — via the `_metadata` hidden
+    * columns of file-backed sources. ZERO corpus shuffle: one metadata-
+    * only job counts rows per file (no content column is read), then
+    * the doc write is a narrow codegen'd projection joined with the
+    * broadcast per-file offset table. Returns None when the corpus is
+    * not a direct file scan (caller falls back to the sorted path). */
+  private def docsStorageOrder(spark: SparkSession, corpus: Dataset[SourceFile],
+                               indexDir: String): Option[Seq[LineageRow]] = {
+    import spark.implicits._
+    val src = corpus.toDF()
+    val counts =
+      try {
+        src.select(col("_metadata.file_path").as("_file"))
+          .groupBy($"_file").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          System.err.println("[build] storageOrderIds requested but the " +
+            "corpus is not a direct file scan (_metadata unavailable) — " +
+            "falling back to sorted docid assignment")
+          return None
+      }
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    require(offsets.last <= Int.MaxValue.toLong + 1,
+      s"${offsets.last} docs exceed the per-index Int cap; shard into " +
+        "multiple indexes and merge via search.Federation")
+    val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("_file", "_off")
+    src
+      .select(col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_ri"),
+        $"repo", $"path", $"commit", $"lang", $"content")
+      .join(broadcast(offDf), Seq("_file"))
+      .select(($"_off" + $"_ri").cast("int").as("docId"),
+        $"repo", $"path", $"commit", $"lang", $"content",
+        sha2($"content", 256).as("content_sha256"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+    Some(counts.zip(offsets).zipWithIndex.collect {
+      case (((f, c), off), p) if c > 0 =>
+        LineageRow("docs", p, off.toInt, (off + c - 1).toInt, c, 0L,
+          Sha.hex(s"docs:$f:$off:$c"), java.time.Instant.now.toString)
+    }.toIndexedSeq)
+  }
+
+  /** Post-docs build stages (the ONE tokenize pass → postings/positions
+    * + doclen → dict → stats); shared by [[build]] and
+    * [[buildFromTable]]. The corpus content is tokenized exactly once:
+    * the token stream flows into EITHER the positions table (when
+    * enabled; postings then derive from a narrow (term, docId, tf) scan
+    * of it) OR straight into the posting shuffle. Per-doc token counts
+    * ride along as [[LenTerm]] sentinel rows and land in doclen/. */
+  private def buildFromDocs(spark: SparkSession, indexDir: String,
+                            cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val tok = cfg.tokenizer
+    val docsDf = spark.read.parquet(s"$indexDir/docs")
     val tb = cfg.termBuckets
     val stop = cfg.stopWords
 
@@ -827,7 +896,7 @@ object IndexBuild {
         .write.mode("overwrite").parquet(s"$indexDir/docs")
       lineageOf(spark, s"$indexDir/docs", "docId")
     }
-    build(spark, spark.emptyDataset[SourceFile], indexDir, cfg)
+    buildFromDocs(spark, indexDir, cfg)
   }
 
   /** Multi-field build (reference: positions are
