@@ -273,7 +273,13 @@ object Bench {
     }
 
     // ---- query phase (doubles as the time spacer between windows) -----
+    // bandwidth probes bracket the query phase so a degraded query
+    // window is machine-attested in the record (round-3 lesson: a
+    // uniform 15-30% query regression had to be argued from build-phase
+    // steal; now the record carries its own evidence)
+    val bwPreQ = memBandwidth()
     val (results, errors, p50) = queryPhase(sfDir, cpus)
+    val bwPostQ = memBandwidth()
 
     // ---- scaling window B (post-queries): gate retries with carried
     // best samples; fresh quiet-sensing budget for the second window ----
@@ -326,7 +332,9 @@ object Bench {
       val (aLow, aHigh) = (math.max(1, cpus / 16), math.max(2, cpus / 4))
       val (l4, h4) = scalingThroughput(aLow, aHigh, buildN, corpusDir,
         math.min(budgetSec * 0.3, remainingSec - 420), target)
-      if (l4 / (h4 * 4.0) > gateEff) {
+      // compare with the pair's REAL core ratio (2 on an 8-cpu host, 4
+      // on 32) — a hardcoded 4 would understate the alternate pair
+      if (l4 / (h4 * (aHigh.toDouble / aLow)) > gateEff) {
         wallLow = l4; wallHigh = h4
         gateLow = aLow; gateHigh = aHigh
       }
@@ -348,6 +356,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
+      f""""query_bw_probe_mbps":{"pre":${bwPreQ.round},"post":${bwPostQ.round},"best_run":${bestBw.round}},""" +
       s""""build_files_per_sec":${thrHigh2.round},"query_p50_ms":${p50.round},""" +
       s""""scaling":{"cores_low":$gateLow,"cores_high":$gateHigh,""" +
       f""""files_per_sec_low":${thrLow.round},"files_per_sec_high":${thrHigh.round},"efficiency":$efficiency%.3f,""" +

@@ -267,8 +267,12 @@ object SparkEntry {
       // but below SemanticExactMaxRows vectors the exact brute-force
       // path runs (identical to the DuckDB oracle); at scale the SAME
       // call reads only probed bucket partitions of the index
+      // explicit full pool: the oracle checks BOTH arms' auxiliary
+      // scores for every returned doc, which needs both full orderings;
+      // production callers take the default pool = k (Hybrid.search)
       graft.search.Hybrid.search(mr, embDf(s, dir), "vec_id", "embedding",
         "spark merge", queryVecId = 0L, ratio = 0.5, k = 20,
+        candidatePool = 1000000,
         semanticIndexDir = Some(lshIndexDir(s, dir)))
         .select(col("docId").cast("long").as("doc_id"),
           col("hybridScore").as("hybrid_score"),

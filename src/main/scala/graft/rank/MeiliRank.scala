@@ -426,80 +426,72 @@ final class MeiliRank(engine: SearchEngine,
     if (n == 0)
       return (spark.range(0).select($"id".cast("int").as("docId")), Nil, 0)
 
-    // proximity: min pair distance per original-adjacent kept slot pair;
-    // absent pair (beyond cap) costs 8; pairs with a removed endpoint 0
-    val withProx = if (n >= 2) {
-      val pos = slotPositions(slots, searchOnFids)
-      val a = pos.toDF("docId", "s1", "p1")
-      val b = pos.toDF("docId", "s2", "p2")
-      // ByWord: the asymmetric pair distance over fid-encoded positions
-      // (cross-field pairs clamp to 8 via the cap). ByAttribute: only
-      // "same field" (1) vs "different field" (8) — the cheap setting
-      val dExpr = proximityPrecision match {
-        case ProximityPrecision.ByAttribute =>
-          when(shiftright($"p1", 16) === shiftright($"p2", 16), lit(1))
-            .otherwise(lit(8))
-        case ProximityPrecision.ByWord =>
-          when($"p2" > $"p1", $"p2" - $"p1").otherwise($"p1" - $"p2" + 1)
-      }
-      val pairs = a.join(b, Seq("docId"))
-        .where($"s2" === $"s1" + 1)
-        .withColumn("d", dExpr)
-        .groupBy($"docId", $"s1")
-        .agg(least(min($"d"), lit(8)).as("pairProx"))
-        .groupBy($"docId")
-        .agg(map_from_entries(sort_array(collect_list(struct($"s1", $"pairProx"))))
-          .as("pp"))
-      val proxSum = (0 until n - 1).map { i =>
-        when(lit(kposArr(i)) < $"wordsRank" && lit(kposArr(i + 1)) < $"wordsRank",
-          coalesce(element_at($"pp", i), lit(8))).otherwise(lit(0))
-      }.reduce(_ + _)
-      perDoc.join(pairs, Seq("docId"), "left")
-        .withColumn("proxCost", proxSum)
-        .drop("pp")
-    } else perDoc.withColumn("proxCost", lit(0))
-
-    // attribute rule = fid + position (reference Attribute → Fid then
-    // Position, search/new/mod.rs:426-533). Positions carry the fid in
-    // the high 16 bits for multi-field indexes (lib.rs:201-208); the
-    // position sub-rule buckets the RELATIVE position, the fid sub-rule
-    // takes the min field weight per kept slot (fid/mod.rs:50-110).
+    // ---- ONE positions scan for the whole cascade ----------------------
+    // The proximity pairs AND the attribute rule (fid + position
+    // sub-ranks, reference Attribute → Fid then Position,
+    // search/new/mod.rs:426-533) all derive from a single
+    // (docId -> [(slot, pos)]) aggregation: the positions table is
+    // scanned ONCE per query (bucket-pruned), where the previous shape
+    // scanned it three times (both proximity self-join sides + the
+    // position rank). Positions carry the fid in the high 16 bits for
+    // multi-field indexes (lib.rs:201-208); the per-slot minima and the
+    // adjacent-pair distance minima are higher-order array expressions
+    // over the per-doc list — the same |A_i|x|A_{i+1}| work the self-
+    // join materialized as rows, now computed in-register inside
+    // whole-stage codegen with no extra shuffle.
+    val pos = slotPositions(slots, searchOnFids)
+    val posAgg = pos.groupBy($"docId")
+      .agg(collect_list(struct($"slot", $"pos")).as("sp"))
     val fws = engine.fieldWeights
     val wMax = if (fws.isEmpty) 0 else fws.values.max
-    val posRank = {
-      val pos = slotPositions(slots, searchOnFids)
-      val weightCol =
-        if (fws.isEmpty) lit(0)
-        else coalesce(element_at(typedLit(fws),
-          shiftright($"pos", 16).cast("int")), lit(wMax))
-      pos.groupBy($"docId", $"slot")
-        .agg(min($"pos").as("minPos"),
-          min($"pos".bitwiseAND(lit(0xffff))).as("minRel"),
-          min(weightCol).as("minW"))
-        // pure CASE arithmetic (Tokenizer.bucketPositionCol): the same
-        // bucketing a scalar UDF computed before, but codegen-friendly —
-        // the cascade's hottest stage stays inside WholeStageCodegen
-        .withColumn("posBucket", Tokenizer.bucketPositionCol($"minRel"))
-        .groupBy($"docId")
-        .agg(map_from_entries(sort_array(collect_list(struct($"slot", $"posBucket"))))
-          .as("pb"),
-          map_from_entries(sort_array(collect_list(struct($"slot", $"minW"))))
-          .as("fw"),
-          min(when($"slot" === 0, $"minPos")).as("firstSlotPos"))
+    def slotArr(i: Int): Column = filter($"sp", x => x.getField("slot") === i)
+    // min pair distance per original-adjacent kept slot pair; absent
+    // pair (beyond cap) costs 8; pairs with a removed endpoint 0.
+    // ByWord: the asymmetric pair distance (proximity.rs:7-15) over
+    // fid-encoded positions (cross-field pairs clamp to 8 via the cap).
+    // ByAttribute: only "same field" (1) vs "different field" (8)
+    def pairProx(i: Int): Column = {
+      val d: (Column, Column) => Column = proximityPrecision match {
+        case ProximityPrecision.ByAttribute => (p1, p2) =>
+          when(shiftright(p1, 16) === shiftright(p2, 16), lit(1)).otherwise(lit(8))
+        case ProximityPrecision.ByWord => (p1, p2) =>
+          when(p2 > p1, p2 - p1).otherwise(p1 - p2 + 1)
+      }
+      least(array_min(flatten(transform(slotArr(i), a =>
+        transform(slotArr(i + 1), b =>
+          d(a.getField("pos"), b.getField("pos")))))), lit(8))
     }
+    val proxSum =
+      if (n < 2) lit(0)
+      else (0 until n - 1).map { i =>
+        when(lit(kposArr(i)) < $"wordsRank" && lit(kposArr(i + 1)) < $"wordsRank",
+          coalesce(pairProx(i), lit(8))).otherwise(lit(0))
+      }.reduce(_ + _)
+    // position sub-rule: bucketed min RELATIVE position per kept slot
+    // (pure CASE arithmetic, Tokenizer.bucketPositionCol — codegen)
     val posSum = (0 until n).map { i =>
+      val minRel = array_min(transform(slotArr(i),
+        x => x.getField("pos").bitwiseAND(lit(0xffff))))
       when(lit(kposArr(i)) < $"wordsRank",
-        coalesce(element_at($"pb", i), lit(0))).otherwise(lit(0))
+        coalesce(Tokenizer.bucketPositionCol(minRel), lit(0))).otherwise(lit(0))
     }.reduce(_ + _)
+    // fid sub-rule: min field weight per kept slot (fid/mod.rs:50-110)
     val fidSum =
       if (fws.isEmpty) lit(0)
       else (0 until n).map { i =>
+        val minW = array_min(transform(slotArr(i), x =>
+          coalesce(element_at(typedLit(fws),
+            shiftright(x.getField("pos"), 16).cast("int")), lit(wMax))))
         when(lit(kposArr(i)) < $"wordsRank",
-          coalesce(element_at($"fw", i), lit(wMax))).otherwise(lit(0))
+          coalesce(minW, lit(wMax))).otherwise(lit(0))
       }.reduce(_ + _)
-    val withPos = withProx.join(posRank, Seq("docId"), "left")
+    val withPos = perDoc.join(posAgg, Seq("docId"), "left")
+      .withColumn("proxCost", proxSum)
       .withColumn("fidCost", fidSum)
       .withColumn("posCost", posSum)
+      .withColumn("firstSlotPos",
+        array_min(transform(slotArr(0), _.getField("pos"))))
+      .drop("sp")
 
     // exactness: whole-attribute exact (len == n and phrase at pos 0),
     // starts-with, other

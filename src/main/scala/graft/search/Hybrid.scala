@@ -65,12 +65,17 @@ object Hybrid {
       graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get, queryVecId, pool)
         .select(col("vec_id").cast("int").as("docId"), col("score"))
     else {
-      // loud guard against the scale anti-pattern when NO index exists:
-      // plan-statistics size estimate (no extra job), generous 512 B/row
-      if (indexDir.isEmpty && exactMaxRows > 0)
-        require(emb.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            BigInt(exactMaxRows) * 512,
-          s"embedding table likely exceeds $exactMaxRows rows and no LSH " +
+      // loud guard against the scale anti-pattern when NO index exists.
+      // Catalyst size estimates for derived/joined embedding frames can
+      // be off by orders of magnitude in either direction, so the plan-
+      // statistics estimate is only the screen: when it trips, confirm
+      // with a BOUNDED count (limit cap+1 — never a full scan) before
+      // failing, so a mis-estimated small frame still runs exact
+      if (indexDir.isEmpty && exactMaxRows > 0 &&
+          emb.queryExecution.optimizedPlan.stats.sizeInBytes >
+            BigInt(exactMaxRows) * 512)
+        require(emb.limit((exactMaxRows + 1).toInt).count() <= exactMaxRows,
+          s"embedding table exceeds $exactMaxRows rows and no LSH " +
             "index was given: build one with Similarity.buildLshIndex")
       graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVecId, pool)
         .select(col(idCol).cast("int").as("docId"), col("score"))
@@ -80,16 +85,26 @@ object Hybrid {
   /** End-to-end: rank `q` with the rule cascade, score embeddings by
     * cosine against `queryVecId`'s embedding (via [[semanticTopK]]'s
     * cost routing), merge at `ratio`. `emb` rows must be keyed by the
-    * same ids as the doc store. */
+    * same ids as the doc store.
+    *
+    * `candidatePool` (default 0 = `k`): per-arm top-N fed to the merge.
+    * For the max-weighted merge, the hybrid top-k is contained in
+    * (top-k keyword) ∪ (top-k semantic): a doc outside an arm's top-k
+    * is dominated there by ≥k docs whose weighted (hence hybrid) score
+    * is at least its own — so pool = k is exact, and a 1M-row
+    * TakeOrdered heap per arm per query (the previous default) is pure
+    * waste at scale. Pass an explicit larger pool only to materialize a
+    * deeper merged ordering than the returned top-k. */
   def search(mr: graft.rank.MeiliRank, emb: DataFrame, idCol: String,
              vecCol: String, q: String, queryVecId: Long, ratio: Double,
-             k: Int, candidatePool: Int = 1000000,
+             k: Int, candidatePool: Int = 0,
              semanticIndexDir: Option[String] = None,
              semanticExactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
-    val kw = mr.search(q, candidatePool)
+    val pool = if (candidatePool > 0) candidatePool else k
+    val kw = mr.search(q, pool)
       .select(col("docId"), col("rankingScore"))
     val sem = semanticTopK(emb, idCol, vecCol, queryVecId,
-      candidatePool, semanticIndexDir, semanticExactMaxRows)
+      pool, semanticIndexDir, semanticExactMaxRows)
     merge(kw, sem, ratio, k)
   }
 }

@@ -208,4 +208,16 @@ class MeiliRankSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("UDF("), "cascade plan must be ScalaUDF-free")
   }
+
+  test("cascade scans the positions table exactly once per query") {
+    // proximity pairs + the attribute fid/position sub-ranks all derive
+    // from ONE (docId -> [(slot, pos)]) aggregation — the previous shape
+    // scanned positions three times (two proximity self-join sides +
+    // the position rank)
+    val plan = mr.search("the quick brown fox", 10)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split('\n')
+      .count(l => l.contains("FileScan") && l.contains("/positions"))
+    assert(scans == 1, s"expected exactly one positions FileScan, got $scans")
+  }
 }
