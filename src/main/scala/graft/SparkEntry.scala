@@ -66,12 +66,20 @@ object SparkEntry {
     * probed bucket partitions). Shared by q_knn_lsh and the hybrid
     * semantic-arm routing. */
   private def lshIndexDir(s: SparkSession, dir: String): String = {
-    val idxDir = s"/tmp/graft-lshidx-v1/${dirTag(dir)}"
+    val idxDir = s"/tmp/graft-lshidx-v2/${dirTag(dir)}"
     if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
       graft.ops.Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
         idxDir, nPlanes = 4)
     idxDir
   }
+
+  /** The LSH hyperplane family as DuckDB VALUES rows `(p, i, w)` —
+    * the q_knn_lsh oracle recomputes bucket assignment from the same
+    * constants the index build used (Similarity.planeWeight). */
+  private def lshPlaneValues(nPlanes: Int, dim: Int, seed: Long): String =
+    (for (p <- 0 until nPlanes; d <- 0 until dim)
+      yield s"($p, $d, ${graft.ops.Similarity.planeWeight(seed, p, d)})")
+      .mkString(", ")
 
   /** documents + deterministic synthetic `_geo_lat`/`_geo_lng` fields
     * (the corpus has no geo columns; identical doc_id-derived formula in
@@ -214,7 +222,11 @@ object SparkEntry {
     "q_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embDf(s, dir), "vec_id", "embedding", 0.4)
         .orderBy(col("a"), col("b"))),
-    "q_knn_lsh" -> ((s, dir) => // rows-only: approximate path
+    // multi-probe top-k against the persisted bucket-partitioned LSH
+    // index; fully oracle-checked — the DuckDB SQL recomputes the
+    // fixed-point bucket assignment from the same plane literals,
+    // mirrors the Hamming<=2 probe set, and re-ranks exactly
+    "q_knn_lsh" -> ((s, dir) =>
       Similarity.lshIndexTopK(s, lshIndexDir(s, dir), 0L, 10)),
     // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
     "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
@@ -952,6 +964,37 @@ object SparkEntry {
         | round(d.dot / sqrt(CAST(d.nn * qn.qnorm AS DOUBLE)), 6) AS score
         |FROM dots d CROSS JOIN qn
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // ANN multi-probe oracle: the hyperplanes are deterministic
+    // splitmix64-derived algorithm parameters (like the seed), inlined
+    // below as SQL literals; bucket bit p = sign of the FIXED-POINT
+    // plane dot (1e-9 BIGINT units — order-independent, so Spark and
+    // DuckDB agree bit-for-bit); probes = buckets within Hamming
+    // distance 2 of the query's bucket; exact fixed-point cosine
+    // re-rank within the probed rows (Similarity.lshIndexTopK)
+    "q_knn_lsh" ->
+      s"""WITH planes(p, i, w) AS (VALUES ${lshPlaneValues(4, 64, 42L)}),
+         |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+         |exd AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM ex),
+         |pd AS (SELECT e.vec_id, pl.p,
+         |  sum(CAST(floor(e.x * pl.w * 1e9 + 0.5) AS BIGINT)) AS pdot
+         | FROM exd e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |  sum(CASE WHEN pdot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+         | FROM pd GROUP BY 1),
+         |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+         |probed AS (SELECT b.vec_id FROM bk b CROSS JOIN qb
+         | WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2),
+         |nrm AS (SELECT vec_id, sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS nn
+         | FROM exd GROUP BY 1),
+         |qv AS (SELECT i, x AS qx FROM exd WHERE vec_id = 0),
+         |dots AS (SELECT e.vec_id, sum(CAST(floor(e.x * q.qx * 1e9 + 0.5) AS BIGINT)) AS dot
+         | FROM exd e JOIN qv q ON e.i = q.i
+         | JOIN probed pr ON pr.vec_id = e.vec_id GROUP BY 1),
+         |qn AS (SELECT nn AS qnorm FROM nrm WHERE vec_id = 0)
+         |SELECT d.vec_id AS vec_id,
+         | round(d.dot / sqrt(CAST(n.nn AS DOUBLE) * CAST(qn.qnorm AS DOUBLE)), 6) AS score
+         |FROM dots d JOIN nrm n ON n.vec_id = d.vec_id CROSS JOIN qn
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_neardup" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
         |exd AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM ex),

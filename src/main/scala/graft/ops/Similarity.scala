@@ -43,22 +43,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane weight (p, d) of the deterministic pseudo-random hyperplane
+    * family (splitmix64-seeded, in [-1, 1]) — exposed so the DuckDB
+    * oracle can inline the SAME constants as SQL literals (the planes
+    * are algorithm parameters like the seed, not data). */
+  def planeWeight(seed: Long, p: Int, d: Int): Double =
+    graft.corpus.CorpusGen.mix(seed ^ (p.toLong << 32) ^ d.toLong)
+      .toDouble / Long.MaxValue
+
   /** Deterministic pseudo-random hyperplanes (splitmix64-seeded) and
     * the bucket expression: bucket bit i = sign of the dot with plane i
-    * (random-hyperplane LSH, Charikar '02). */
+    * (random-hyperplane LSH, Charikar '02). Plane dots follow the
+    * file-wide fixed-point contract (1e-9 units summed as BIGINT), so a
+    * bucket assignment is bit-identical across partitionings AND across
+    * engines — the DuckDB oracle recomputes it from the same plane
+    * literals. */
   private def bucketExpr(vecCol: String, nPlanes: Int, dim: Int, seed: Long)
       : (Column, Column) = {
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { d =>
-        val r = graft.corpus.CorpusGen.mix(seed ^ (p.toLong << 32) ^ d.toLong)
-        (r.toDouble / Long.MaxValue) // in [-1, 1]
-      }
+      Array.tabulate(dim)(d => planeWeight(seed, p, d))
     }
     val planesCol = array(planes.map(pl => array(pl.map(v => lit(v)): _*)): _*)
     val b = expr(
       s"""aggregate(zip_with(planes_idx, planes_arr, (i, pl) ->
-         |  if(aggregate(zip_with($vecCol, pl, (x, w) -> cast(x as double) * w),
-         |     0d, (a, v) -> a + v) >= 0d, shiftleft(1L, i), 0L)),
+         |  if(aggregate(zip_with($vecCol, pl, (x, w) ->
+         |       cast(floor(cast(x as double) * w * 1e9 + 0.5d) as bigint)),
+         |     0L, (a, v) -> a + v) >= 0L, shiftleft(1L, i), 0L)),
          |  0L, (a, v) -> a + v)""".stripMargin)
     (planesCol, b)
   }
@@ -94,15 +104,13 @@ object Similarity {
   private def bucketColInline(vecCol: String, nPlanes: Int, dim: Int,
                               seed: Long): Column = {
     (0 until nPlanes).map { p =>
-      val pl = Array.tabulate(dim) { d =>
-        val r = graft.corpus.CorpusGen.mix(seed ^ (p.toLong << 32) ^ d.toLong)
-        r.toDouble / Long.MaxValue
-      }
+      val pl = Array.tabulate(dim)(d => planeWeight(seed, p, d))
       val arr = pl.map(v => s"${v}d").mkString(",")
       val dot = expr(
         s"""aggregate(zip_with($vecCol, array($arr), (x, w) ->
-           |  cast(x as double) * w), 0d, (a, v) -> a + v)""".stripMargin)
-      when(dot >= 0d, lit(1L << p)).otherwise(lit(0L))
+           |  cast(floor(cast(x as double) * w * 1e9 + 0.5d) as bigint)),
+           |  0L, (a, v) -> a + v)""".stripMargin)
+      when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
