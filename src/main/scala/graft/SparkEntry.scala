@@ -391,6 +391,17 @@ object SparkEntry {
         proximityPrecision = graft.rank.ProximityPrecision.ByAttribute)
       meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
     }),
+    // ---- exactAttributes / typoTolerance.disableOnAttributes (reference
+    // exact_attributes index.rs:125-126, db_cache.rs:183-205): typo-
+    // derived 'spark' (from 'spork') may NOT match inside the title
+    // field (fid 0) — docs whose only 'spark' is the synthetic title
+    // lose the slot; exact 'merge' matches everywhere -----------------
+    "q_meili_exact_attr" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(
+        new graft.search.SearchEngine(s, mfIndexDir(s, dir)),
+        typo = graft.rank.TypoSettings(exactFids = Set(0)))
+      meiliCols(mr.search("spork merge", 50), col("fidCost").cast("long").as("fid_cost"))
+    }),
     // ---- federated multi-index search (weighted score merge) -----------
     "q_federation" -> ((s, dir) => {
       val base = s"/tmp/graft-fedidx-v2/${dirTag(dir)}"
@@ -513,7 +524,8 @@ object SparkEntry {
                         fidWeightSql: Option[String] = None,
                         maxFid: Int = 0,
                         prefixLast: Boolean = false,
-                        proxByAttribute: Boolean = false): String = {
+                        proxByAttribute: Boolean = false,
+                        exactFids: Set[Int] = Set.empty): String = {
     val budgets = words.map(graft.search.Levenshtein.budgetFor)
     val n = words.length
     // +n: split-word and 2-gram-merge derivations cost 1 beyond the
@@ -582,6 +594,18 @@ object SparkEntry {
       s" UNION ALL SELECT DISTINCT tok.doc_id, $i AS slot, tok.pos FROM tok WHERE tok.term = '${ws.head}'"
     }.mkString
     val minWr = if (strategy == "all") n else 1
+    // exactAttributes (typoTolerance.disableOnAttributes): typo-class
+    // derivations (cost > 0) only match at positions OUTSIDE the
+    // typo-disabled fids; cost-0 derivations match everywhere — mirrors
+    // MeiliRank.slotMatches/slotPositions under TypoSettings.exactFids
+    val exactPred =
+      if (exactFids.isEmpty) ""
+      else s" WHERE d.cost = 0 OR tok.pos // 65536 NOT IN (${exactFids.mkString(", ")})"
+    val smSource =
+      if (exactFids.isEmpty)
+        "tf.doc_id, d.slot, d.cost, d.isexact FROM tf JOIN deriv d USING(term)"
+      else "DISTINCT tok.doc_id, d.slot, d.cost, d.isexact " +
+        s"FROM tok JOIN deriv d USING(term)$exactPred"
     val minwSel = fidWeightSql.fold("")(e => s", min($e) AS minw")
     val minwPass = if (fidWeightSql.isEmpty) "" else ", minw"
     val fidSel = fidWeightSql.fold("0 AS fid_cost,")(_ =>
@@ -605,8 +629,7 @@ object SparkEntry {
        |  $derivUnion),
        |deriv AS (SELECT slot, term, min(cost) AS cost, max(isexact) AS isexact
        |  FROM deriv0 GROUP BY 1, 2),
-       |sm0 AS (SELECT tf.doc_id, d.slot, d.cost, d.isexact
-       |        FROM tf JOIN deriv d USING(term)$phmUnion),
+       |sm0 AS (SELECT $smSource$phmUnion),
        |sm AS (SELECT s.doc_id, k.kpos, min(s.cost) AS cost, max(s.isexact) AS isexact
        |       FROM sm0 s JOIN kq k ON k.slot = s.slot GROUP BY 1, 2),
        |wr AS (SELECT t.doc_id,
@@ -617,7 +640,7 @@ object SparkEntry {
        |    (SELECT coalesce(sum(s.cost),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.kpos < w.words_rank) AS typo_cost,
        |    (SELECT coalesce(sum(s.isexact),0) FROM sm s WHERE s.doc_id=w.doc_id AND s.kpos < w.words_rank) AS exact_words
        |  FROM wr w WHERE w.words_rank >= $minWr),
-       |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)$ppPhrase),
+       |pp AS (SELECT DISTINCT tok.doc_id, d.slot, tok.pos FROM tok JOIN deriv d USING(term)$exactPred$ppPhrase),
        |pairs AS (SELECT a.doc_id, a.slot AS s1,
        |    least(min(${
          if (proxByAttribute)
@@ -677,10 +700,11 @@ object SparkEntry {
                              fidCol: Boolean = false,
                              where: String = "",
                              prefixLast: Boolean = false,
-                             proxByAttribute: Boolean = false): String = {
+                             proxByAttribute: Boolean = false,
+                             exactFids: Set[Int] = Set.empty): String = {
     val sortMid = if (sortKeys.isEmpty) "" else sortKeys.mkString("", ", ", ", ")
     val fidOut = if (fidCol) "m.fid_cost, " else ""
-    s"""${meiliCtes(words, strategy, synonyms, splits, tokCte, fidWeightSql, maxFid, prefixLast, proxByAttribute)}
+    s"""${meiliCtes(words, strategy, synonyms, splits, tokCte, fidWeightSql, maxFid, prefixLast, proxByAttribute, exactFids)}
        |SELECT m.doc_id, m.words_rank, m.typo_cost, m.prox_cost, ${fidOut}m.pos_cost,
        |  m.exact_attr, m.exact_words, m.ranking_score$extraCols
        |FROM meili m $sortJoin
@@ -1061,6 +1085,9 @@ object SparkEntry {
     "q_meili_prox_attr" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = MfTok,
       fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
       maxFid = 2, fidCol = true, proxByAttribute = true),
+    "q_meili_exact_attr" -> meiliOracleSql(Seq("spork", "merge"), 50, tokCte = MfTok,
+      fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
+      maxFid = 2, fidCol = true, exactFids = Set(0)),
     "q_field_dist" ->
       """WITH c AS (SELECT count(*) AS n FROM documents)
         |SELECT * FROM (

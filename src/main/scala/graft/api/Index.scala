@@ -40,8 +40,8 @@ final class Index(val engine: SearchEngine,
                   synonyms: Map[String, Seq[String]] = Map.empty,
                   typo: TypoSettings = TypoSettings(),
                   proximityPrecision: graft.rank.ProximityPrecision =
-                    graft.rank.ProximityPrecision.ByWord) {
-  private val mr = new MeiliRank(engine, synonyms, typo, proximityPrecision)
+                    graft.rank.ProximityPrecision.ByWord,
+                  exactAttributes: Seq[String] = Nil) {
   import engine.spark.implicits._
 
   /** field name → fid for attributesToSearchOn (multi-field indexes). */
@@ -53,6 +53,16 @@ final class Index(val engine: SearchEngine,
         .select($"name", $"fid").as[(String, Int)].collect().toMap
     else Map.empty
   }
+
+  // exactAttributes (the reference's typoTolerance.disableOnAttributes,
+  // index.rs:125-126): resolve names to fids and fold into the typo
+  // settings the cascade enforces (TypoSettings.exactFids)
+  private val mr = new MeiliRank(engine, synonyms,
+    if (exactAttributes.isEmpty) typo
+    else typo.copy(exactFids = typo.exactFids ++ exactAttributes.map(n =>
+      fieldIds.getOrElse(n, throw new IllegalArgumentException(
+        s"unknown exactAttributes field '$n'")))),
+    proximityPrecision)
 
   private def strategyOf(name: String): TermsMatching = name.toLowerCase match {
     case "last" => TermsMatching.Last

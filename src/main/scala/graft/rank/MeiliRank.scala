@@ -35,10 +35,21 @@ final case class Slot(idx: Int, original: String,
 /** Typo-tolerance settings (reference index settings: authorize_typos
   * index.rs:36-37, min_word_len_one_typo / min_word_len_two_typos
   * defaults 5/9 parse_query.rs:194-215, exact_words FST — words listed
-  * there get no typo derivations). */
+  * there get no typo derivations).
+  *
+  * @param exactFids attributes (by fid) with typo tolerance DISABLED
+  *   (reference exact_attributes, index.rs:125-126 — the
+  *   `typoTolerance.disableOnAttributes` setting): a typo-derived form
+  *   only matches in attributes OUTSIDE this set (db_cache.rs:183-205
+  *   resolves derived words through word_docids_without_exact); the
+  *   exact query word still matches everywhere. Applies to any
+  *   derivation with typo cost > 0 (typos, ngram merges, split words);
+  *   cost-0 derivations (synonyms, prefixes) are not typos and match
+  *   everywhere. [[graft.api.Index]] maps attribute names to fids. */
 final case class TypoSettings(enabled: Boolean = true,
                               oneTypo: Int = 5, twoTypos: Int = 9,
-                              exactWords: Set[String] = Set.empty) {
+                              exactWords: Set[String] = Set.empty,
+                              exactFids: Set[Int] = Set.empty) {
   def budgetFor(word: String): Int =
     if (!enabled || exactWords.contains(word)) 0
     else if (word.length < oneTypo) 0
@@ -225,12 +236,27 @@ final class MeiliRank(engine: SearchEngine,
     }
   }
 
+  /** Field restriction for typo-derived forms when exactFids is set:
+    * the allowed fids minus the typo-disabled ones (None = no
+    * restriction applies at all). */
+  private def typoFids(base: Option[Set[Int]]): Option[Set[Int]] =
+    if (typo.exactFids.isEmpty) base
+    else {
+      val all = base.getOrElse {
+        val fw = engine.fieldWeights.keySet
+        if (fw.nonEmpty) fw else Set(0)
+      }
+      Some(all -- typo.exactFids)
+    }
+
   /** (docId, slot, typoCost, exact) rows: min-cost derivation per slot
     * per doc, from one bucket-pruned postings scan. With `fids` set
     * (attributesToSearchOn), matches come from the fid-restricted
     * positions table instead of the field-agnostic postings (reference
     * restricted_fids routes word lookups to word_fid_docids,
-    * search/new/mod.rs:115-170). */
+    * search/new/mod.rs:115-170). With typo.exactFids set, derivations
+    * costing > 0 route through the SAME fid-restricted path minus the
+    * typo-disabled fids (reference db_cache.rs:183-205). */
   private def slotMatches(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map { case (t, c) =>
       (t, s.idx, c, if (t == s.original) 1 else 0)
@@ -241,27 +267,39 @@ final class MeiliRank(engine: SearchEngine,
     if (derivRows.isEmpty &&
         slots.forall(s => s.phraseDerivs.isEmpty && s.prefixDerivs.isEmpty))
       return empty
-    val direct = if (derivRows.isEmpty) empty else {
-      val dt = derivRows.toDF("term", "slot", "cost", "isExact")
-      val terms = derivRows.map(_._1).distinct
-      val occurrences = fids match {
-        case Some(_) =>
-          engine.positionRows(terms, fids).select($"term", $"docId").distinct()
-        case None =>
-          // df=0: only term+bucket feed the pruned posting scan
-          val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
-            IndexBuild.bucketOf(t, engine.termBuckets)))
-          engine.decoded(qts).toDF().select($"term", $"docId")
+    // under exactFids, typo-derived rows (cost > 0) resolve against the
+    // reduced fid set; everything else keeps the caller's restriction
+    val (typoRows, plainRows) =
+      if (typo.exactFids.isEmpty) (Nil, derivRows)
+      else derivRows.partition(_._3 > 0)
+    def occurrencesOf(rows: Seq[(String, Int, Int, Int)],
+                      f: Option[Set[Int]]): Option[DataFrame] =
+      if (rows.isEmpty) None else Some {
+        val dt = rows.toDF("term", "slot", "cost", "isExact")
+        val terms = rows.map(_._1).distinct
+        val occurrences = f match {
+          case Some(_) =>
+            engine.positionRows(terms, f).select($"term", $"docId").distinct()
+          case None =>
+            // df=0: only term+bucket feed the pruned posting scan
+            val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
+              IndexBuild.bucketOf(t, engine.termBuckets)))
+            engine.decoded(qts).toDF().select($"term", $"docId")
+        }
+        occurrences.join(broadcast(dt), Seq("term"))
+          .select($"docId", $"slot", $"cost", $"isExact")
       }
-      occurrences
-        .join(broadcast(dt), Seq("term"))
-        .groupBy($"docId", $"slot")
-        .agg(min($"cost").as("typoCost"), max($"isExact").as("exact"))
-    }
+    val direct =
+      (occurrencesOf(plainRows, fids) ++ occurrencesOf(typoRows, typoFids(fids)))
+        .reduceOption(_ unionByName _)
+        .fold(empty)(_.groupBy($"docId", $"slot")
+          .agg(min($"cost").as("typoCost"), max($"isExact").as("exact")))
     // phrase derivations (split words, multi-word synonyms): the slot
-    // matches where the words occur adjacently; never exact
+    // matches where the words occur adjacently; never exact. Splits
+    // cost 1 (a typo-class derivation) — under exactFids they match in
+    // typo-enabled fields only
     val phraseDfs = slots.flatMap(s => s.phraseDerivs.map { case (ws, cost) =>
-      engine.phrase(ws, fids)
+      engine.phrase(ws, if (cost > 0) typoFids(fids) else fids)
         .select($"docId", lit(s.idx).as("slot"),
           lit(cost).as("typoCost"), lit(0).as("exact"))
     })
@@ -283,14 +321,27 @@ final class MeiliRank(engine: SearchEngine,
 
   /** (docId, slot, pos) exploded positions for all derivations (phrase
     * derivations contribute the first word's positions; precomputed
-    * prefixes their merged position table). */
+    * prefixes their merged position table). Typo-derived forms
+    * (cost > 0) keep the exactFids restriction, so the rank costs never
+    * see a typo match inside a typo-disabled attribute. */
   private def slotPositions(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
-    val derivRows = slots.flatMap(s => s.derivations.map(d => (d._1, s.idx)) ++
-      s.phraseDerivs.map(pd => (pd._1.head, s.idx)))
-    val dt = derivRows.toDF("term", "slot")
-    val direct = engine.positionRows(derivRows.map(_._1).distinct, fids)
-      .join(broadcast(dt), Seq("term"))
-      .select($"docId", $"slot", $"pos")
+    val derivRows = slots.flatMap(s =>
+      s.derivations.map(d => (d._1, s.idx, d._2)) ++
+        s.phraseDerivs.map(pd => (pd._1.head, s.idx, pd._2)))
+    val (typoRows, plainRows) =
+      if (typo.exactFids.isEmpty) (Nil, derivRows)
+      else derivRows.partition(_._3 > 0)
+    def posOf(rows: Seq[(String, Int, Int)], f: Option[Set[Int]]): Option[DataFrame] =
+      if (rows.isEmpty) None else Some {
+        val dt = rows.map(r => (r._1, r._2)).toDF("term", "slot")
+        engine.positionRows(rows.map(_._1).distinct, f)
+          .join(broadcast(dt), Seq("term"))
+          .select($"docId", $"slot", $"pos")
+      }
+    val direct = (posOf(plainRows, fids) ++ posOf(typoRows, typoFids(fids)))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.range(0).select($"id".cast("int").as("docId"),
+        lit(0).as("slot"), lit(0).as("pos")))
     slots.flatMap(s => s.prefixDerivs.map(p =>
       engine.prefixPositionRows(p, fids)
         .select($"docId", lit(s.idx).as("slot"), $"pos")))

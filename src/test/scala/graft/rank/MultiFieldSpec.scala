@@ -106,6 +106,40 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(ph == Set(0), s"title-restricted phrase universe: $ph")
   }
 
+  test("exactAttributes: typo-derived matches are excluded from typo-disabled fields") {
+    // reference exact_attributes (index.rs:125-126): a derived form only
+    // resolves through word_docids_without_exact (db_cache.rs:183-205).
+    // 'pastq' (budget 1) derives 'pasta' at cost 1. With the TITLE
+    // (fid 0) typo-disabled: doc 0 has 'pasta' ONLY in its title -> the
+    // typo match disappears; docs 1/2/3 have body occurrences -> stay
+    val mrExact = new MeiliRank(engine, typo = TypoSettings(exactFids = Set(0)))
+    val unrestricted = mr.search("pastq", 10).collect().map(_.getInt(0)).toSet
+    assert(unrestricted == Set(0, 1, 2, 3), s"$unrestricted")
+    val restricted = mrExact.search("pastq", 10).collect().map(_.getInt(0)).toSet
+    assert(restricted == Set(1, 2, 3),
+      s"title-only typo match (doc 0) must drop: $restricted")
+    // the EXACT word still matches everywhere, including the exact field
+    val exact = mrExact.search("pasta", 10).collect().map(_.getInt(0)).toSet
+    assert(exact == Set(0, 1, 2, 3), s"exact form unrestricted: $exact")
+    // rank costs ignore typo positions inside the exact field too:
+    // doc 2 has 'pasta' at title pos 0 and body pos 0 (fid 1 weight 1) —
+    // under exactFids the typo match's fid cost reads the BODY weight
+    val fc = mrExact.search("pastq", 10).collect()
+      .map(r => r.getAs[Int]("docId") -> r.getAs[Int]("fidCost")).toMap
+    assert(fc(2) == 1, s"doc 2's kept position is the body one (weight 1): $fc")
+  }
+
+  test("api.Index exactAttributes maps field names to fids") {
+    val idx = new graft.api.Index(engine, exactAttributes = Seq("title"))
+    val got = idx.search(graft.api.SearchRequest(q = "pastq", limit = 10))
+      .collect().map(_.getAs[Int]("docId")).toSet
+    assert(got == Set(1, 2, 3), s"$got")
+    intercept[IllegalArgumentException] {
+      new graft.api.Index(engine, exactAttributes = Seq("nope"))
+        .search(graft.api.SearchRequest(q = "pastq"))
+    }
+  }
+
   test("ProximityPrecision::ByAttribute: pair cost is same-field(1) or not(8)") {
     val mrAttr = new MeiliRank(engine,
       proximityPrecision = ProximityPrecision.ByAttribute)
