@@ -29,7 +29,14 @@ final case class SearchRequest(
     cropMarker: String = "…",
     preTag: String = "<em>", postTag: String = "</em>",
     showMatchesPosition: Boolean = false,
-    attributesToRetrieve: Option[Seq[String]] = None)
+    attributesToRetrieve: Option[Seq[String]] = None,
+    // reference attributesToHighlight / attributesToCrop (`*` = all
+    // stored fields; crop entries may carry a per-field length,
+    // `"body:5"`). On a multi-field index these choose WHICH fields of
+    // the per-field `_formatted` map get tags / crop windows; `highlight
+    // = true` / `cropLength` alone mean "all retrieved fields".
+    attributesToHighlight: Option[Seq[String]] = None,
+    attributesToCrop: Option[Seq[String]] = None)
 
 /** Index-level client facade: settings (synonyms live here, like the
   * reference's index settings; stop words and field weights are
@@ -120,8 +127,12 @@ final class Index(val engine: SearchEngine,
         engine.spark.createDataFrame(
           engine.spark.sparkContext.parallelize(rows, 1), ranked.schema)
       }
+    val wantsFormat = r.highlight || r.cropLength.isDefined ||
+      r.showMatchesPosition || r.attributesToHighlight.exists(_.nonEmpty) ||
+      r.attributesToCrop.exists(_.nonEmpty)
     val formatted =
-      if (!r.highlight && r.cropLength.isEmpty && !r.showMatchesPosition) sliced
+      if (!wantsFormat) sliced
+      else if (fieldIds.nonEmpty) withFormattedMulti(sliced, r)
       else withFormatted(sliced, r)
     // attributesToRetrieve (reference displayed/retrieved attributes):
     // project to docId + the requested fields + any _-meta columns
@@ -137,39 +148,57 @@ final class Index(val engine: SearchEngine,
     * over the k result rows, the reference's Matcher model
     * (matches/mod.rs: re-tokenize stored fields against MatchingWords;
     * k is page-sized by contract, no cluster work needed). */
+  /** The request's match model for formatting: bag-word derivations
+    * highlight anywhere; quoted phrases and phrase derivations (splits,
+    * multi-word synonyms) highlight only at adjacency sites (the
+    * reference matcher's phrase arm). Table-served prefixes carry no
+    * per-term derivations: highlight by startsWith instead. Crop
+    * windows center over bag words AND phrase member words — a pure
+    * quoted-phrase query must still center its crop on the match site
+    * (only the highlight pass is phrase-adjacency-strict). */
+  private case class MatchModel(terms: Set[String], prefixes: Set[String],
+                                phrases: Seq[Seq[String]]) {
+    def cropTerms: Set[String] = terms ++ phrases.flatten
+  }
+  private def matchModel(r: SearchRequest): MatchModel = {
+    val slots = mr.analyze(r.q, r.lastWordIsPrefix)
+    MatchModel(
+      slots.filterNot(_.noTypo).flatMap(_.derivations.map(_._1)).toSet,
+      slots.flatMap(_.prefixDerivs).toSet,
+      engine.parseQuery(r.q).phrases ++ slots.flatMap(_.phraseDerivs.map(_._1)))
+  }
+
   private def withFormatted(page: DataFrame, r: SearchRequest): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    // bag-word derivations highlight anywhere; quoted phrases and
-    // phrase derivations (splits, multi-word synonyms) highlight only
-    // at adjacency sites (the reference matcher's phrase arm)
-    val slots = mr.analyze(r.q, r.lastWordIsPrefix)
-    val terms = slots.filterNot(_.noTypo).flatMap(_.derivations.map(_._1)).toSet
-    // table-served prefixes carry no per-term derivations: highlight by
-    // startsWith instead (the Highlighter's prefix arm)
-    val prefixes = slots.flatMap(_.prefixDerivs).toSet
-    val phrases: Seq[Seq[String]] =
-      engine.parseQuery(r.q).phrases ++
-        slots.flatMap(_.phraseDerivs.map(_._1))
-    // crop windows over bag words AND phrase member words — a pure
-    // quoted-phrase query must still center its crop on the match site
-    // (only the highlight pass is phrase-adjacency-strict)
-    val cropTerms = terms ++ phrases.flatten
+    val mm = matchModel(r)
+    val terms = mm.terms
+    val prefixes = mm.prefixes
+    val phrases = mm.phrases
+    val cropTerms = mm.cropTerms
+    // single-field indexes have one stored field: a non-empty
+    // attributesToHighlight means highlight it; an attributesToCrop
+    // entry's `:n` suffix sets the window
+    val doHighlight = r.highlight || r.attributesToHighlight.exists(_.nonEmpty)
+    val cropLen: Option[Int] = r.cropLength.orElse(
+      r.attributesToCrop.filter(_.nonEmpty).map(es =>
+        es.collectFirst { case e if e.contains(':') =>
+          e.substring(e.indexOf(':') + 1).toInt }.getOrElse(10)))
     val rows = page.collect()
     val ids = rows.map(_.getAs[Int]("docId")).toSeq
     val contents =
       if (ids.isEmpty) Map.empty[Int, String]
       else engine.docs.filter(col("docId").isin(ids: _*))
         .select($"docId", $"content").as[(Int, String)].collect().toMap
-    val wantFmt = r.highlight || r.cropLength.isDefined
+    val wantFmt = doHighlight || cropLen.isDefined
     val out = rows.map { row =>
       val text = contents.getOrElse(row.getAs[Int]("docId"), "")
       val extra = Seq.newBuilder[Any]
       if (wantFmt) {
-        val cropped = r.cropLength.fold(text)(n =>
+        val cropped = cropLen.fold(text)(n =>
           graft.search.Highlighter.crop(text, cropTerms, n, r.cropMarker,
             engine.tokSettings))
-        extra += (if (r.highlight)
+        extra += (if (doHighlight)
           graft.search.Highlighter.highlight(cropped, terms, r.preTag, r.postTag,
             prefixTerms = prefixes, phrases = phrases, tok = engine.tokSettings)
         else cropped)
@@ -188,6 +217,92 @@ final class Index(val engine: SearchEngine,
     val extraFields =
       (if (wantFmt) Seq(StructField("_formatted", StringType)) else Nil) ++
         (if (r.showMatchesPosition) Seq(StructField("_matchesPosition", StringType)) else Nil)
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.parallelize(out, 1),
+      StructType(page.schema.fields ++ extraFields))
+  }
+
+  /** Per-field `_formatted` for multi-field indexes (reference: the
+    * `_formatted` response object mirrors the document's attributes —
+    * each retrieved field is cropped/highlighted INDIVIDUALLY against
+    * the same MatchingWords, never the concatenation;
+    * attributesToHighlight / attributesToCrop pick which fields get
+    * tags / windows, search/mod.rs format fields). `_formatted` and
+    * `_matchesPosition` become field→value maps here. */
+  private def withFormattedMulti(page: DataFrame, r: SearchRequest): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
+    val mm = matchModel(r)
+    // stored fields in fid order; `*` expands to all of them
+    val stored = fieldIds.toSeq.sortBy(_._2).map(_._1)
+    def expand(sel: Seq[String]): Seq[String] =
+      if (sel.contains("*")) stored else sel.filter(stored.contains)
+    val retrieved = r.attributesToRetrieve.fold(stored)(expand)
+    val hlSet: Set[String] = r.attributesToHighlight.map(expand)
+      .getOrElse(if (r.highlight) retrieved else Nil).toSet
+    // crop entries may carry a per-field length ("body:5"); a bare name
+    // uses the request default (reference crop attribute syntax)
+    val cropMap: Map[String, Int] = r.attributesToCrop match {
+      case Some(entries) => entries.flatMap { e =>
+          val (name, n) = e.indexOf(':') match {
+            case -1 => (e, r.cropLength.getOrElse(10))
+            case i => (e.substring(0, i), e.substring(i + 1).toInt)
+          }
+          (if (name == "*") stored else Seq(name).filter(stored.contains))
+            .map(_ -> n)
+        }.toMap
+      case None => r.cropLength.fold(Map.empty[String, Int])(n =>
+        retrieved.map(_ -> n).toMap)
+    }
+    // _formatted carries retrieved ∪ highlighted ∪ cropped fields, in
+    // fid order (the reference adds to-highlight/to-crop attributes to
+    // the formatted object even when not retrieved)
+    val fmtFields = stored.filter(f =>
+      retrieved.contains(f) || hlSet.contains(f) || cropMap.contains(f))
+    val wantFmt = hlSet.nonEmpty || cropMap.nonEmpty ||
+      (r.highlight || r.cropLength.isDefined)
+    val rows = page.collect()
+    val ids = rows.map(_.getAs[Int]("docId")).toSeq
+    val texts: Map[Int, Map[String, String]] =
+      if (ids.isEmpty) Map.empty
+      else engine.docs.filter(col("docId").isin(ids: _*))
+        .select(col("docId") +: fmtFields.map(f => col(f).cast("string")): _*)
+        .collect().map(row => row.getInt(0) ->
+          fmtFields.zipWithIndex.map { case (f, i) =>
+            f -> Option(row.getString(i + 1)).getOrElse("")
+          }.toMap).toMap
+    val H = graft.search.Highlighter
+    val out = rows.map { row =>
+      val fields = texts.getOrElse(row.getAs[Int]("docId"), Map.empty)
+      val extra = Seq.newBuilder[Any]
+      if (wantFmt)
+        extra += fmtFields.map { f =>
+          val text = fields.getOrElse(f, "")
+          val cropped = cropMap.get(f).fold(text)(n =>
+            H.crop(text, mm.cropTerms, n, r.cropMarker, engine.tokSettings))
+          f -> (if (hlSet.contains(f))
+            H.highlight(cropped, mm.terms, r.preTag, r.postTag,
+              prefixTerms = mm.prefixes, phrases = mm.phrases,
+              tok = engine.tokSettings)
+          else cropped)
+        }.toMap
+      if (r.showMatchesPosition)
+        extra += retrieved.flatMap { f =>
+          val text = fields.getOrElse(f, "")
+          val ms = (H.matchPositions(text, mm.terms, mm.prefixes,
+              engine.tokSettings) ++
+            mm.phrases.flatMap(p => H.phrasePositions(text, p, engine.tokSettings)))
+            .sortBy(_.start)
+          if (ms.isEmpty) None
+          else Some(f -> ms.map(m =>
+            s"${m.term}@${m.pos}[${m.start},${m.end})").mkString(";"))
+        }.toMap
+      Row.fromSeq(row.toSeq ++ extra.result())
+    }.toSeq
+    val mapT = MapType(StringType, StringType, valueContainsNull = false)
+    val extraFields =
+      (if (wantFmt) Seq(StructField("_formatted", mapT)) else Nil) ++
+        (if (r.showMatchesPosition) Seq(StructField("_matchesPosition", mapT)) else Nil)
     engine.spark.createDataFrame(
       engine.spark.sparkContext.parallelize(out, 1),
       StructType(page.schema.fields ++ extraFields))

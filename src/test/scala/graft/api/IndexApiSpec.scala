@@ -83,32 +83,42 @@ class IndexApiSpec extends AnyFunSuite {
     }
   }
 
-  test("highlight + crop produce a _formatted column over matched derivations") {
-    val rows = idx.search(SearchRequest(q = "spark merge", highlight = true))
-      .collect()
-    val byId = rows.map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
-    assert(byId(0).contains("<em>spark</em>") && byId(0).contains("<em>merge</em>"),
-      s"${byId(0)}")
-    // crop shortens long fields to the best window around matches
-    val cropped = idx.search(SearchRequest(q = "batch", highlight = true,
-      cropLength = Some(3))).collect()
-      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
-    assert(cropped(1).contains("<em>batch</em>"))
-    assert(cropped(1).length < docs(1)._2.length + docs(1)._3.length,
+  private def fmtMap(rows: Array[org.apache.spark.sql.Row],
+                     colName: String = "_formatted"): Map[Int, Map[String, String]] =
+    rows.map(r => r.getInt(0) ->
+      r.getAs[scala.collection.Map[String, String]](colName).toMap).toMap
+
+  test("highlight + crop produce a per-field _formatted map over matched derivations") {
+    // multi-field index: _formatted is field→formatted, each stored
+    // field formatted individually (never the concatenation)
+    val byId = fmtMap(idx.search(SearchRequest(q = "spark merge",
+      highlight = true)).collect())
+    assert(byId(0)("title").contains("<em>spark</em>") &&
+      byId(0)("title").contains("<em>merge</em>"), s"${byId(0)}")
+    assert(byId(0)("body").contains("<em>spark</em>"), s"${byId(0)}")
+    // crop shortens long fields to the best window around matches —
+    // per field: the body crops around its own match
+    val cropped = fmtMap(idx.search(SearchRequest(q = "batch", highlight = true,
+      cropLength = Some(3))).collect())
+    assert(cropped(1)("body").contains("<em>batch</em>"), s"${cropped(1)}")
+    assert(cropped(1)("body").length < docs(1)._3.length,
       s"crop must shorten: ${cropped(1)}")
   }
 
-  test("showMatchesPosition emits term@pos[start,end) spans; cropMarker is configurable") {
-    val rows = idx.search(SearchRequest(q = "spark merge",
-      showMatchesPosition = true)).collect()
-    val mp = rows.map(r => r.getInt(0) -> r.getAs[String]("_matchesPosition")).toMap
+  test("showMatchesPosition emits per-field term@pos[start,end) spans; cropMarker is configurable") {
+    val mp = fmtMap(idx.search(SearchRequest(q = "spark merge",
+      showMatchesPosition = true)).collect(), "_matchesPosition")
     // doc 0 title 'spark merge batch': spark at word 0 chars [0,5)
-    assert(mp(0).contains("spark@0[0,5)"), s"${mp(0)}")
-    assert(mp(0).split(";").forall(s => s.contains("@") && s.contains("[")), s"${mp(0)}")
-    val marked = idx.search(SearchRequest(q = "batch", cropLength = Some(3),
-      cropMarker = "[..]")).collect()
-      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
-    assert(marked(1).contains("[..]") && !marked(1).contains("…"), s"${marked(1)}")
+    assert(mp(0)("title").contains("spark@0[0,5)"), s"${mp(0)}")
+    assert(mp(0)("body").split(";").forall(s => s.contains("@") && s.contains("[")),
+      s"${mp(0)}")
+    // doc 4 ('spark title' / 'no match here'): only the title matches →
+    // the unmatched field is omitted from the map
+    assert(mp(4).keySet == Set("title"), s"${mp(4)}")
+    val marked = fmtMap(idx.search(SearchRequest(q = "batch", cropLength = Some(3),
+      cropMarker = "[..]")).collect())
+    assert(marked(1)("body").contains("[..]") && !marked(1)("body").contains("…"),
+      s"${marked(1)}")
   }
 
   test("attributesToRetrieve projects the hit columns") {
@@ -119,12 +129,13 @@ class IndexApiSpec extends AnyFunSuite {
   }
 
   test("quoted phrases highlight only at adjacency sites") {
-    val rows = idx.search(SearchRequest(q = "\"spark merge\"", highlight = true)).collect()
-    val byId = rows.map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
+    val byId = fmtMap(idx.search(SearchRequest(q = "\"spark merge\"",
+      highlight = true)).collect())
     // doc 1: title 'merge tool', body 'spark merge runs...' — the
     // adjacent pair is wrapped as ONE span, the lone 'merge' is not
-    assert(byId(1).contains("<em>spark merge</em>"), s"${byId(1)}")
-    assert(byId(1).startsWith("merge tool"), s"lone word must stay bare: ${byId(1)}")
+    assert(byId(1)("body").contains("<em>spark merge</em>"), s"${byId(1)}")
+    assert(byId(1)("title") == "merge tool",
+      s"lone word must stay bare: ${byId(1)}")
     // a hard separator breaks adjacency: no phrase match across it
     import graft.search.Highlighter
     assert(Highlighter.phrasePositions("spark. merge", Seq("spark", "merge")).isEmpty)
@@ -132,10 +143,9 @@ class IndexApiSpec extends AnyFunSuite {
       .map(m => (m.start, m.end)) == Seq((4, 15)))
     // crop must still center on the phrase site for a pure-phrase query
     // (regression: phrase words were dropped from the crop term set)
-    val cropped = idx.search(SearchRequest(q = "\"spark merge\"",
-      highlight = true, cropLength = Some(3))).collect()
-      .map(r => r.getInt(0) -> r.getAs[String]("_formatted")).toMap
-    assert(cropped(3).contains("<em>spark merge</em>"),
+    val cropped = fmtMap(idx.search(SearchRequest(q = "\"spark merge\"",
+      highlight = true, cropLength = Some(3))).collect())
+    assert(cropped(3)("body").contains("<em>spark merge</em>"),
       s"crop centered off the match: ${cropped(3)}")
   }
 

@@ -140,6 +140,42 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("per-field _formatted: each retrieved attribute formatted individually") {
+    import graft.api.{Index, SearchRequest}
+    val idx = new Index(engine)
+    def fmt(r: SearchRequest, colName: String = "_formatted"): Map[Int, Map[String, String]] =
+      idx.search(r).collect().map(row => row.getAs[Int]("docId") ->
+        row.getAs[scala.collection.Map[String, String]](colName).toMap).toMap
+    // highlight=true formats EVERY stored field separately — tags land
+    // only in the field that actually matches, the other field is the
+    // raw stored value (never the "\n\n" concatenation)
+    val hl = fmt(SearchRequest(q = "cooking pasta", highlight = true, limit = 10))
+    assert(hl(0)("title") == "<em>cooking</em> <em>pasta</em>", hl(0))
+    assert(hl(0)("body") == "a long story about gardens and tools", hl(0))
+    assert(hl(1)("body").startsWith("<em>cooking</em> <em>pasta</em> recipes"), hl(1))
+    assert(!hl(1)("title").contains("<em>"), hl(1))
+    // attributesToHighlight restricts the tagged fields; the others
+    // still appear in _formatted, unformatted
+    val only = fmt(SearchRequest(q = "cooking pasta", limit = 10,
+      attributesToHighlight = Some(Seq("title"))))
+    assert(only(0)("title").contains("<em>cooking</em>"), only(0))
+    assert(!only(1)("body").contains("<em>"), only(1))
+    assert(only(1)("title") == "garden tools", only(1))
+    // per-field crop length ("body:3"): body cropped around its match,
+    // title untouched
+    val cr = fmt(SearchRequest(q = "pasta", limit = 10,
+      attributesToCrop = Some(Seq("body:3"))))
+    assert(cr(3)("body") == "…here with pasta…", cr(3))
+    assert(cr(3)("title") == "unrelated title", cr(3))
+    // _matchesPosition is a field→spans map; fields with no match are
+    // omitted (doc 0 has 'pasta' only in its title)
+    val mp = fmt(SearchRequest(q = "pasta", limit = 10,
+      showMatchesPosition = true), "_matchesPosition")
+    assert(mp(2).keySet == Set("title", "body"), mp(2))
+    assert(mp(0).keySet == Set("title"), mp(0))
+    assert(mp(0)("title") == "pasta@1[8,13)", mp(0))
+  }
+
   test("ProximityPrecision::ByAttribute: pair cost is same-field(1) or not(8)") {
     val mrAttr = new MeiliRank(engine,
       proximityPrecision = ProximityPrecision.ByAttribute)
