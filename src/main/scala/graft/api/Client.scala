@@ -15,6 +15,19 @@ final case class IndexStats(numberOfDocuments: Long,
                             fieldDistribution: Map[String, Long],
                             isIndexing: Boolean)
 
+/** One build-stage task of an index (reference GET /tasks task objects,
+  * crates/index-scheduler task listing: uid, indexUid, status, type,
+  * details, finishedAt). Stages map 1:1 onto queued tasks here: a
+  * committed lineage stage is a `succeeded` task whose details
+  * aggregate its per-partition lineage rows; a lineage dir without its
+  * `_COMMITTED` marker is a `processing` task (in-flight, or orphaned
+  * by a kill — exactly the set a resume re-runs). */
+final case class TaskInfo(uid: Long, indexUid: String, stage: String,
+                          status: String, partitions: Int,
+                          docidMin: Option[Int], docidMax: Option[Int],
+                          postingCount: Long, bytes: Long,
+                          finishedAt: Option[String])
+
 /** Multi-index client (reference index CRUD + POST /swap-indexes,
   * meilisearch/src/routes/indexes/ + swap_indexes.rs): named indexes as
   * directories under one root. The deploy pattern: build `products_new`
@@ -82,6 +95,56 @@ final class Client(spark: SparkSession, rootDir: String) {
     val byUid = requests.map(_._1).distinct
       .map(uid => uid -> index(uid, synonyms, typo)).toMap
     requests.map { case (uid, r) => uid -> byUid(uid).search(r) }
+  }
+
+  /** Task introspection for an index (reference GET /tasks?indexUids=,
+    * meilisearch/src/routes/tasks.rs → index-scheduler queue listing):
+    * one row per lineage stage, `succeeded` stages carrying the
+    * committed docid range / posting count / bytes / finish time from
+    * their lineage rows, uncommitted stage dirs reported `processing`.
+    * Ordered by finish time then stage name (task uid = that order) —
+    * driver-side metadata only, no Spark job. */
+  def tasks(uid: String): Seq[TaskInfo] = {
+    require(indexExists(uid), s"index '$uid' does not exist")
+    val dir = indexDir(uid)
+    val base = new Path(s"$dir/lineage")
+    if (!fs.exists(base)) return Nil
+    val infos = fs.listStatus(base).filter(_.isDirectory).map(_.getPath).map { p =>
+      val stage = p.getName
+      if (!fs.exists(new Path(p, "_COMMITTED")))
+        TaskInfo(0L, uid, stage, "processing", 0, None, None, 0L, 0L, None)
+      else {
+        // lineage rows are driver-written JSON lines (Lineage.commit);
+        // read them back the same way — a Spark job per stage would
+        // make task listing O(stages) jobs
+        val rowsFile = new Path(p, "rows/rows.json")
+        val rows: Seq[Map[String, String]] =
+          if (!fs.exists(rowsFile)) Nil
+          else {
+            val in = fs.open(rowsFile)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            val Field = """"([A-Za-z]+)":("(?:[^"\\]|\\.)*"|-?\d+)""".r
+            text.linesIterator.filter(_.nonEmpty).map { line =>
+              Field.findAllMatchIn(line).map(m => m.group(1) ->
+                m.group(2).stripPrefix("\"").stripSuffix("\"")).toMap
+            }.toSeq
+          }
+        def longs(k: String): Seq[Long] =
+          rows.flatMap(_.get(k)).flatMap(_.toLongOption)
+        // rowless stages (fields/dict/stats commit Nil) still finish:
+        // fall back to the _COMMITTED marker's mtime
+        val markerTime = java.time.Instant.ofEpochMilli(
+          fs.getFileStatus(new Path(p, "_COMMITTED")).getModificationTime).toString
+        TaskInfo(0L, uid, stage, "succeeded", rows.size,
+          longs("docidMin").minOption.map(_.toInt),
+          longs("docidMax").maxOption.map(_.toInt),
+          longs("postingCount").sum, longs("bytes").sum,
+          Some(rows.flatMap(_.get("committedAt")).maxOption.getOrElse(markerTime)))
+      }
+    }
+    infos.sortBy(t => (t.finishedAt.getOrElse("~"), t.stage)).toSeq
+      .zipWithIndex.map { case (t, i) => t.copy(uid = i.toLong) }
   }
 
   /** Exchange two indexes via three directory renames (reference

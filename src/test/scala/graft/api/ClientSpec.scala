@@ -57,6 +57,36 @@ class ClientSpec extends AnyFunSuite {
     assert(c.danglingSwaps().isEmpty)
   }
 
+  test("tasks lists one row per lineage stage with status, docid range and timestamps") {
+    val root = Files.createTempDirectory("graft-client-tasks").toString
+    val c = new Client(spark, root)
+    buildInto(c, "movies", Seq((0L, "alpha beta"), (1L, "beta gamma"),
+      (2L, "gamma delta")))
+    val ts = c.tasks("movies")
+    // every build stage of this path committed exactly once
+    val byStage = ts.map(t => t.stage -> t).toMap
+    assert(byStage.keySet.contains("docs") && byStage.keySet.contains("stats"),
+      s"${byStage.keySet}")
+    assert(ts.forall(_.status == "succeeded"), s"$ts")
+    assert(ts.forall(_.indexUid == "movies"))
+    // task uids are the listing order (finish time)
+    assert(ts.map(_.uid) == ts.indices.map(_.toLong), s"$ts")
+    assert(ts.forall(_.finishedAt.isDefined), s"$ts")
+    // the docs stage's lineage rows cover the built docid range
+    assert(byStage("docs").docidMin.contains(0) &&
+      byStage("docs").docidMax.contains(2), s"${byStage("docs")}")
+    assert(byStage("docs").partitions > 0)
+    // an uncommitted stage dir (a killed build would leave one) reports
+    // processing — the set a resume re-runs
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(c.indexDir("movies"), "lineage/prefix_tables"))
+    val ts2 = c.tasks("movies")
+    val pending = ts2.filter(_.status == "processing").map(_.stage)
+    assert(pending == Seq("prefix_tables"), s"$ts2")
+    intercept[IllegalArgumentException](c.tasks("missing"))
+  }
+
   test("multiSearch answers N independent requests as N result lists") {
     val root = Files.createTempDirectory("graft-msearch").toString
     val c = new Client(spark, root)
