@@ -59,6 +59,21 @@ object Tokenizer extends Serializable {
     * @param dictionary raw words exempt from subtoken splitting
     *   (matched case-insensitively against the raw word): "ActionScript"
     *   stays one token instead of action|script
+    * @param separatorStrings multi-char separator SEQUENCES (charabia's
+    *   string-token separators, e.g. "||", "-->"): the whole sequence is
+    *   one separator — it splits a word-char run it appears inside, and
+    *   it is hard iff it contains a hard-separator char (so "\n\n" stays
+    *   hard). Multi-char NON-separators are not modeled (they would make
+    *   word identity position-dependent); single-char promotion covers
+    *   the reference's documented examples.
+    * @param localesByFid per-field locale hints (reference
+    *   localizedAttributes rules): fid → ISO code. A CJK locale ("cmn",
+    *   "zho", "zh", "jpn", "ja", "kor", "ko") forces Han/kana unigram
+    *   splitting ON for that field; any other locale forces it OFF
+    *   (runs stay whole words — the "this field is transliterated
+    *   Latin" escape hatch); absent = autodetect per codepoint (the
+    *   default behavior). Queries segment with the index-level default
+    *   (auto), like the reference without a `locales` search param.
     *
     * An index persists its settings (IndexConfig.tokenizer); the query
     * side loads them from the index, so both ends agree by
@@ -66,16 +81,49 @@ object Tokenizer extends Serializable {
   final case class TokSettings(
       separatorTokens: Set[Char] = Set.empty,
       nonSeparatorTokens: Set[Char] = Set.empty,
-      dictionary: Set[String] = Set.empty) {
+      dictionary: Set[String] = Set.empty,
+      separatorStrings: Set[String] = Set.empty,
+      localesByFid: Map[Int, String] = Map.empty,
+      cjkUnigrams: Option[Boolean] = None) {
     val isDefault: Boolean =
-      separatorTokens.isEmpty && nonSeparatorTokens.isEmpty && dictionary.isEmpty
+      separatorTokens.isEmpty && nonSeparatorTokens.isEmpty &&
+        dictionary.isEmpty && separatorStrings.isEmpty && localesByFid.isEmpty
     private[Tokenizer] val dictLower: Set[String] =
       dictionary.map(_.toLowerCase(java.util.Locale.ROOT))
     def inDictionary(raw: String): Boolean =
       dictionary.nonEmpty &&
         dictLower.contains(raw.toLowerCase(java.util.Locale.ROOT))
+    // multi-char separators sorted longest-first so overlapping entries
+    // ("--", "-->") match greedily, like a tokenizer should
+    private[Tokenizer] val sepStringsOrdered: Array[String] =
+      separatorStrings.toArray.sortBy(-_.length)
+    /** The settings a specific field tokenizes under: its locale hint
+      * resolves the CJK unigram mode (None = autodetect). */
+    def forFid(fid: Int): TokSettings = localesByFid.get(fid) match {
+      case None => this
+      case Some(loc) => copy(cjkUnigrams = Some(TokSettings.isCjkLocale(loc)))
+    }
   }
-  object TokSettings { val Default: TokSettings = TokSettings() }
+  object TokSettings {
+    val Default: TokSettings = TokSettings()
+    private val CjkLocales =
+      Set("cmn", "zho", "zh", "jpn", "ja", "kor", "ko")
+    def isCjkLocale(code: String): Boolean =
+      CjkLocales.contains(code.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Length of the multi-char separator starting at `text(i)`, or -1.
+    * Shared with QueryParser so query segmentation matches the index. */
+  def sepStringLenAt(text: String, i: Int, s: TokSettings): Int = {
+    if (s.separatorStrings.isEmpty) return -1
+    val arr = s.sepStringsOrdered
+    var k = 0
+    while (k < arr.length) {
+      if (text.startsWith(arr(k), i)) return arr(k).length
+      k += 1
+    }
+    -1
+  }
 
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
@@ -124,7 +172,12 @@ object Tokenizer extends Serializable {
     * tokens + the position machinery give equivalent RETRIEVAL
     * semantics — a multi-char query becomes adjacent slots, so phrase
     * matching and the proximity rule recover word-level matching. */
-  def subtokens(word: String): Seq[String] = {
+  def subtokens(word: String): Seq[String] = subtokens(word, cjkSplit = true)
+
+  /** `cjkSplit = false` keeps Han/kana runs whole (a field's locale hint
+    * said "not CJK"); boundary splitting still applies. */
+  def subtokens(word: String, cjkSplit: Boolean): Seq[String] = {
+    if (!cjkSplit) return subtokensSeparated(word)
     var i = 0
     var hasCjk = false
     while (i < word.length && !hasCjk) {
@@ -208,6 +261,8 @@ object Tokenizer extends Serializable {
 
   def tokenizeWithOffsets(text: String, s: TokSettings): Seq[OffsetToken] = {
     if (text == null || text.isEmpty) return Nil
+    val cjkSplit = s.cjkUnigrams.getOrElse(true)
+    val hasSepStrings = s.separatorStrings.nonEmpty
     val out = new ArrayBuffer[OffsetToken](math.min(64, text.length / 4 + 1))
     var pos = -1          // next token gets pos+inc
     var pendingHard = false
@@ -215,12 +270,25 @@ object Tokenizer extends Serializable {
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
-      if (isWordChar(c, s)) {
+      // a multi-char separator outranks the char classes: it both ends
+      // a word-char run and is consumed whole (hard iff it contains a
+      // hard-separator char)
+      val sepLen = if (hasSepStrings) sepStringLenAt(text, i, s) else -1
+      if (sepLen > 0) {
+        var k = 0
+        while (k < sepLen) {
+          if (HardSeps.contains(text.charAt(i + k))) pendingHard = true
+          k += 1
+        }
+        i += sepLen
+      } else if (isWordChar(c, s)) {
         val start = i
-        while (i < n && isWordChar(text.charAt(i), s)) i += 1
+        while (i < n && isWordChar(text.charAt(i), s) &&
+          (!hasSepStrings || sepStringLenAt(text, i, s) < 0)) i += 1
         val raw = text.substring(start, i)
         val subs =
-          if (s.inDictionary(raw)) Seq((raw, 0)) else subtokensWithOffsets(raw)
+          if (s.inDictionary(raw)) Seq((raw, 0))
+          else subtokensWithOffsets(raw, cjkSplit)
         var j = 0
         while (j < subs.length) {
           val (sub, off) = subs(j)
@@ -242,8 +310,11 @@ object Tokenizer extends Serializable {
   }
 
   /** [[subtokens]] plus each subtoken's offset within the word. */
-  def subtokensWithOffsets(word: String): Seq[(String, Int)] = {
-    val subs = subtokens(word)
+  def subtokensWithOffsets(word: String): Seq[(String, Int)] =
+    subtokensWithOffsets(word, cjkSplit = true)
+
+  def subtokensWithOffsets(word: String, cjkSplit: Boolean): Seq[(String, Int)] = {
+    val subs = subtokens(word, cjkSplit)
     val out = new ArrayBuffer[(String, Int)](subs.length)
     var from = 0
     subs.foreach { s =>
@@ -269,15 +340,20 @@ object Tokenizer extends Serializable {
 
   def countTokens(text: String, s: TokSettings): Int = {
     if (text == null || text.isEmpty) return 0
+    val cjkSplit = s.cjkUnigrams.getOrElse(true)
+    val hasSepStrings = s.separatorStrings.nonEmpty
     var cnt = 0
     var i = 0
     val n = text.length
     while (i < n) {
-      if (isWordChar(text.charAt(i), s)) {
+      val sepLen = if (hasSepStrings) sepStringLenAt(text, i, s) else -1
+      if (sepLen > 0) i += sepLen
+      else if (isWordChar(text.charAt(i), s)) {
         val start = i
-        while (i < n && isWordChar(text.charAt(i), s)) i += 1
+        while (i < n && isWordChar(text.charAt(i), s) &&
+          (!hasSepStrings || sepStringLenAt(text, i, s) < 0)) i += 1
         val raw = text.substring(start, i)
-        val subs = if (s.inDictionary(raw)) Seq(raw) else subtokens(raw)
+        val subs = if (s.inDictionary(raw)) Seq(raw) else subtokens(raw, cjkSplit)
         subs.foreach { sub =>
           val norm = normalize(sub)
           if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength)

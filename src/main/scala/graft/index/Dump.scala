@@ -57,23 +57,33 @@ object Dump {
       else Nil
     }
     // tokenizer settings travel with the dump (segmentation must match
-    // on rebuild or indexed terms change)
-    val (seps, nonSeps, tokDict): (Seq[String], Seq[String], Seq[String]) = {
+    // on rebuild or indexed terms change); `separatorTokens` entries mix
+    // single- and multi-char strings, like the reference's
+    val (seps, nonSeps, tokDict, locales)
+        : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
       val tp = new Path(s"$indexDir/tokenizer")
-      if (!fs.exists(tp)) (Nil, Nil, Nil)
+      if (!fs.exists(tp)) (Nil, Nil, Nil, Nil)
       else {
         val r = spark.read.parquet(s"$indexDir/tokenizer").collect()(0)
-        (r.getAs[scala.collection.Seq[String]]("separators").toSeq,
-          r.getAs[scala.collection.Seq[String]]("nonSeparators").toSeq,
-          r.getAs[scala.collection.Seq[String]]("dictionary").toSeq)
+        def strs(f: String): Seq[String] =
+          if (!r.schema.fieldNames.contains(f)) Nil
+          else Option(r.getAs[scala.collection.Seq[String]](f))
+            .fold(Seq.empty[String])(_.toSeq)
+        (strs("separators"), strs("nonSeparators"), strs("dictionary"),
+          strs("locales"))
       }
     }
+    // precomputed prefix tables are a build artifact, not a setting —
+    // but WHETHER they exist changes serving behavior (capped on-the-fly
+    // fallback vs one pseudo-term read), so record it and rebuild on
+    // import, like facetColumns
+    val hasPrefixTables = fs.exists(new Path(s"$indexDir/prefix_meta"))
     Seq((stats("docsPerShard").toInt, stats("termBuckets").toInt,
         stats("blockSize").toInt, positions, stop, facetCols,
-        seps, nonSeps, tokDict))
+        seps, nonSeps, tokDict, locales, hasPrefixTables))
       .toDF("docsPerShard", "termBuckets", "blockSize", "positions",
         "stopWords", "facetColumns", "separatorTokens", "nonSeparatorTokens",
-        "tokenizerDictionary")
+        "tokenizerDictionary", "localizedAttributes", "hasPrefixTables")
       .repartition(1).write.mode("overwrite").json(s"$dumpDir/settings")
   }
 
@@ -93,10 +103,29 @@ object Dump {
       blockSize = st.getAs[Long]("blockSize").toInt,
       positions = st.getAs[Boolean]("positions"),
       stopWords = st.getAs[scala.collection.Seq[String]]("stopWords").toSet,
-      tokenizer = graft.functions.Tokenizer.TokSettings(
-        strSeq("separatorTokens").map(_.charAt(0)).toSet,
-        strSeq("nonSeparatorTokens").map(_.charAt(0)).toSet,
-        strSeq("tokenizerDictionary").toSet))
+      tokenizer = {
+        // a hand-edited settings file can hold empty or malformed
+        // entries — reject with a clear message, not a charAt(0) crash
+        def validated(f: String): Seq[String] = {
+          val es = strSeq(f)
+          require(es.forall(_.nonEmpty), s"dump settings: empty entry in '$f'")
+          es
+        }
+        val seps = validated("separatorTokens")
+        val locs = validated("localizedAttributes")
+        require(locs.forall(e => e.indexOf(':') > 0 &&
+          e.substring(0, e.indexOf(':')).forall(_.isDigit)),
+          "dump settings: localizedAttributes entries must be '<fid>:<locale>'")
+        graft.functions.Tokenizer.TokSettings(
+          seps.filter(_.length == 1).map(_.charAt(0)).toSet,
+          validated("nonSeparatorTokens").map(_.charAt(0)).toSet,
+          strSeq("tokenizerDictionary").toSet,
+          separatorStrings = seps.filter(_.length > 1).toSet,
+          localesByFid = locs.map { e =>
+            val i = e.indexOf(':')
+            e.substring(0, i).toInt -> e.substring(i + 1)
+          }.toMap)
+      })
     val docs = spark.read.json(s"$dumpDir/documents")
       .select($"repo".cast("string"), $"path".cast("string"),
         $"commit".cast("string"), $"lang".cast("string"),
@@ -110,5 +139,11 @@ object Dump {
       if (cols != null && cols.nonEmpty)
         IndexBuild.buildFacetIndex(spark, indexDir, cols.toSeq)
     }
+    // the source index served prefixes from precomputed tables: rebuild
+    // them so the import doesn't silently downgrade to the capped
+    // on-the-fly path for hot prefixes
+    if (st.schema.fieldNames.contains("hasPrefixTables") &&
+        st.getAs[Boolean]("hasPrefixTables"))
+      IndexBuild.buildPrefixIndex(spark, indexDir, restored)
   }
 }

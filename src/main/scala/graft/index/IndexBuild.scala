@@ -434,7 +434,9 @@ object IndexBuild {
     var total = 0
     var fid = 0
     fields.foreach { f =>
-      val toks = Tokenizer.tokenize(f, tok)
+      // per-field locale hints resolve the CJK unigram mode for THIS
+      // fid (Tokenizer.TokSettings.forFid; no-op without localesByFid)
+      val toks = Tokenizer.tokenize(f, tok.forFid(fid))
       total += toks.length
       toks.foreach { t =>
         if (stop.isEmpty || !stop.contains(t.term))
@@ -851,10 +853,14 @@ object IndexBuild {
     // identically by construction)
     if (!cfg.tokenizer.isDefault) {
       val t = cfg.tokenizer
-      Seq((t.separatorTokens.toSeq.map(_.toString).sorted,
+      // separators mix single-char and multi-char entries in ONE string
+      // column; the reader routes by length (charabia's model: they are
+      // all just string tokens)
+      Seq(((t.separatorTokens.map(_.toString) ++ t.separatorStrings).toSeq.sorted,
           t.nonSeparatorTokens.toSeq.map(_.toString).sorted,
-          t.dictionary.toSeq.sorted))
-        .toDF("separators", "nonSeparators", "dictionary")
+          t.dictionary.toSeq.sorted,
+          t.localesByFid.toSeq.sorted.map { case (fid, loc) => s"$fid:$loc" }))
+        .toDF("separators", "nonSeparators", "dictionary", "locales")
         .repartition(1).write.mode("overwrite").parquet(s"$indexDir/tokenizer")
     }
   }

@@ -72,10 +72,20 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     if (!fs.exists(p)) Tokenizer.TokSettings.Default
     else {
       val r = spark.read.parquet(s"$indexDir/tokenizer").collect()(0)
-      def chars(f: String): Set[Char] =
-        r.getAs[scala.collection.Seq[String]](f).map(_.charAt(0)).toSet
-      Tokenizer.TokSettings(chars("separators"), chars("nonSeparators"),
-        r.getAs[scala.collection.Seq[String]]("dictionary").toSet)
+      def strs(f: String): Seq[String] =
+        if (!r.schema.fieldNames.contains(f)) Nil
+        else Option(r.getAs[scala.collection.Seq[String]](f))
+          .fold(Seq.empty[String])(_.toSeq)
+      val seps = strs("separators").filter(_.nonEmpty)
+      Tokenizer.TokSettings(
+        seps.filter(_.length == 1).map(_.charAt(0)).toSet,
+        strs("nonSeparators").filter(_.nonEmpty).map(_.charAt(0)).toSet,
+        strs("dictionary").toSet,
+        separatorStrings = seps.filter(_.length > 1).toSet,
+        localesByFid = strs("locales").map { e =>
+          val i = e.indexOf(':')
+          e.substring(0, i).toInt -> e.substring(i + 1)
+        }.toMap)
     }
   }
 

@@ -75,4 +75,84 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(e2.tokSettings == settings)
     assert(e2.searchDF("foo-bar", 10).collect().map(_.getInt(0)).toSet == Set(0))
   }
+
+  test("multi-char separator tokens: whole sequence is one separator") {
+    val s = Tokenizer.TokSettings(separatorStrings = Set("||", "-->"))
+    // splits a default word-char run it appears inside... it can't (| and
+    // - separate by default) — the discriminating case is a sequence OF
+    // word chars
+    val sx = Tokenizer.TokSettings(separatorStrings = Set("xx"))
+    assert(Tokenizer.terms("fooxxbar", sx) == Seq("foo", "bar"))
+    assert(Tokenizer.terms("fooxxbar") == Seq("fooxxbar"))
+    // single 'x' is NOT a separator under "xx": run survives, and the
+    // camel splitter sees the whole word
+    assert(Tokenizer.terms("fooxbar", sx) == Seq("fooxbar"))
+    // greedy left-to-right: "xxx" = separator "xx" + leftover 'x'
+    // joining the following run
+    assert(Tokenizer.terms("fooxxxbar", sx) == Seq("foo", "xbar"))
+    // soft: positions advance +1 across it — even for a word-char
+    // sequence, which without the setting would be part of the word
+    assert(Tokenizer.tokenize("a||b", s).map(t => (t.term, t.pos)) ==
+      Seq(("a", 0), ("b", 1)))
+    assert(Tokenizer.tokenize("axxb", sx).map(t => (t.term, t.pos)) ==
+      Seq(("a", 0), ("b", 1)))
+    // hard iff the sequence contains a hard-separator char
+    val hard = Tokenizer.TokSettings(separatorStrings = Set("!!"))
+    assert(Tokenizer.tokenize("a!!b", hard).map(_.pos) == Seq(0, 8))
+    // countTokens agrees with tokenize under separator strings
+    Seq("fooxxbar", "fooxxxbar", "a||b c-->d", "xx edge xx").foreach { t =>
+      assert(Tokenizer.countTokens(t, sx) == Tokenizer.tokenize(t, sx).length, t)
+      assert(Tokenizer.countTokens(t, s) == Tokenizer.tokenize(t, s).length, t)
+    }
+    // query side segments identically (QueryParser re-tokenizes runs)
+    val pq = graft.query.QueryParser.parse("fooxxbar", sx)
+    assert(pq.positiveTerms == Seq("foo", "bar"), s"$pq")
+  }
+
+  test("locales hint switches CJK unigram mode per-field") {
+    // autodetect (default): Han runs split to unigrams
+    assert(Tokenizer.terms("abc北京def") == Seq("abc", "北", "京", "def"))
+    // a non-CJK locale forces unigrams OFF: the run stays one word
+    val lat = Tokenizer.TokSettings(localesByFid = Map(0 -> "en", 1 -> "cmn"))
+    assert(Tokenizer.terms("abc北京def", lat.forFid(0)) == Seq("abc北京def"))
+    // a CJK locale (or no hint) keeps unigram splitting
+    assert(Tokenizer.terms("abc北京def", lat.forFid(1)) ==
+      Seq("abc", "北", "京", "def"))
+    assert(Tokenizer.terms("abc北京def", lat.forFid(7)) ==
+      Seq("abc", "北", "京", "def"))
+    // index side: positionRowsOf applies the hint per fid
+    val rows = IndexBuild.positionRowsOf(0, Seq("北京", "北京"), Set.empty,
+      lat, termBuckets = 2).toSeq
+    val terms = rows.map(_._1).toSet
+    assert(terms.contains("北京") && terms.contains("北") && terms.contains("京"),
+      s"fid 0 whole (locale en), fid 1 unigrams (locale cmn): $terms")
+  }
+
+  test("multi-char separators and locales survive persistence and dumps") {
+    val st = Tokenizer.TokSettings(separatorStrings = Set("xx"),
+      localesByFid = Map(0 -> "en"))
+    val dir = Files.createTempDirectory("toksep").toString
+    val docs = Seq((0L, "fooxxbar 北京"), (1L, "foo bar"), (2L, "fooxbar"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, docs, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true, tokenizer = st))
+    val e = new SearchEngine(spark, dir)
+    assert(e.tokSettings == st, s"${e.tokSettings}")
+    // fid 0 is locale-en: the Han run indexed whole, not unigrams
+    assert(e.dict.contains("北京") && !e.dict.contains("北"), s"${e.dict.keySet}")
+    assert(e.dict.contains("foo") && !e.dict.contains("fooxxbar"))
+    val hits = e.searchDF("foo", 10).collect().map(_.getInt(0)).toSet
+    assert(hits == Set(0, 1), s"$hits")
+    // dump roundtrip carries both new settings
+    val dumpDir = Files.createTempDirectory("tokdumpsep").toString
+    val dir2 = Files.createTempDirectory("tokdumpsep2").toString
+    Dump.exportDump(spark, dir, dumpDir)
+    Dump.importDump(spark, dumpDir, dir2, IndexConfig(numPartitions = 2))
+    val e2 = new SearchEngine(spark, dir2)
+    assert(e2.tokSettings == st, s"${e2.tokSettings}")
+    assert(e2.dict.contains("北京") && !e2.dict.contains("北"))
+  }
 }
