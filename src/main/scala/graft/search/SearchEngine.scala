@@ -32,6 +32,14 @@ final case class Hit(docId: Int, score: Double)
   *
   * Tie-break invariant: equal scores → ascending docId (reference
   * bucket_sort.rs:343-364).
+  *
+  * LIFETIME: an engine is a SNAPSHOT of the index at construction —
+  * stats/dict/stop-words load eagerly, file listings and the prefix
+  * dictionary cache lazily. After `IndexBuild.append`/`delete`/
+  * `buildPrefixIndex` mutate the directory, construct a new engine
+  * (the reference's RoTxn snapshot semantics; `api.Client.index`
+  * already returns a fresh engine per call, so facade users get this
+  * for free). A held instance keeps serving the pre-mutation view.
   */
 final class SearchEngine(val spark: SparkSession, val indexDir: String,
                          val broadcastDfCap: Long = SearchEngine.BroadcastDfCap)
