@@ -9,6 +9,13 @@ object BuildProfile {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .appName("profile").config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill codec A/B (SPARK_GRAFT_CODEC=zstd|lz4): with
+      // spark.local.dir on tmpfs every shuffle byte is DRAM traffic,
+      // so a denser codec trades spare CPU for the contended resource
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
