@@ -13,7 +13,7 @@ object BuildProfile {
       // spark.local.dir on tmpfs every shuffle byte is DRAM traffic,
       // so a denser codec trades spare CPU for the contended resource
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.local.dir", "/dev/shm/spark-local")

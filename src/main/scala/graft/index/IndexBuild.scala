@@ -71,6 +71,13 @@ final case class IndexConfig(
   *   block manager — at 10^12 files caching would thrash; parquet
   *   re-scan is a narrow, spillless pass.
   *
+  * Deployment note: the posting exchange is the build's dominant
+  * bandwidth draw. On clusters where shuffle lands on RAM-backed or
+  * shared-bus storage (tmpfs, NVMe behind one PCIe switch), set
+  * `spark.io.compression.codec=zstd` — measured 1.5-2.3x faster
+  * 16-core builds under memory-bandwidth pressure, neutral at low
+  * concurrency (BENCH.md round 4).
+  *
   * Layout under `indexDir`:
   *   docs/      docId, repo, path, commit, lang, content, content_sha256, len
   *   dict/      term, termId, df, cf
