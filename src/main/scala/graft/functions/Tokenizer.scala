@@ -85,9 +85,14 @@ object Tokenizer extends Serializable {
       separatorStrings: Set[String] = Set.empty,
       localesByFid: Map[Int, String] = Map.empty,
       cjkUnigrams: Option[Boolean] = None) {
+    // an empty separator sequence would match at every offset without
+    // consuming input — the tokenizer loop could never advance
+    require(separatorStrings.forall(_.nonEmpty),
+      "separatorStrings must not contain the empty string")
     val isDefault: Boolean =
       separatorTokens.isEmpty && nonSeparatorTokens.isEmpty &&
-        dictionary.isEmpty && separatorStrings.isEmpty && localesByFid.isEmpty
+        dictionary.isEmpty && separatorStrings.isEmpty &&
+        localesByFid.isEmpty && cjkUnigrams.isEmpty
     private[Tokenizer] val dictLower: Set[String] =
       dictionary.map(_.toLowerCase(java.util.Locale.ROOT))
     def inDictionary(raw: String): Boolean =
@@ -97,12 +102,17 @@ object Tokenizer extends Serializable {
     // ("--", "-->") match greedily, like a tokenizer should
     private[Tokenizer] val sepStringsOrdered: Array[String] =
       separatorStrings.toArray.sortBy(-_.length)
+    // resolved once per settings instance, NOT per call: forFid sits in
+    // the build's hottest loop (per field per document) and a fresh
+    // copy() would recompute dictLower/sepStringsOrdered every time
+    @transient private lazy val forFidCache: Map[Int, TokSettings] =
+      localesByFid.map { case (f, loc) =>
+        f -> copy(cjkUnigrams = Some(TokSettings.isCjkLocale(loc)))
+      }
     /** The settings a specific field tokenizes under: its locale hint
       * resolves the CJK unigram mode (None = autodetect). */
-    def forFid(fid: Int): TokSettings = localesByFid.get(fid) match {
-      case None => this
-      case Some(loc) => copy(cjkUnigrams = Some(TokSettings.isCjkLocale(loc)))
-    }
+    def forFid(fid: Int): TokSettings =
+      if (localesByFid.isEmpty) this else forFidCache.getOrElse(fid, this)
   }
   object TokSettings {
     val Default: TokSettings = TokSettings()
@@ -372,7 +382,12 @@ object Tokenizer extends Serializable {
     import org.apache.spark.sql.functions._
     def seg(base: Int, from: Int, div: Int) =
       (lit(base) + floor((p - lit(from)) / lit(div))).cast("int")
-    when(p < PositionBucketStart, p)
+    // NULL must propagate (callers coalesce a missing position to
+    // cost 0, matching the DuckDB oracle's coalesce(sum(pb),0)): the
+    // otherwise-branch would hit least(47, null) = 47 because Spark's
+    // least() SKIPS nulls rather than propagating them
+    when(p.isNull, lit(null).cast("int"))
+      .when(p < PositionBucketStart, p)
       .when(p < 24, seg(16, 16, 2))
       .when(p < 64, seg(20, 24, 8))
       .when(p < 256, seg(25, 64, 32))

@@ -59,10 +59,10 @@ object Dump {
     // tokenizer settings travel with the dump (segmentation must match
     // on rebuild or indexed terms change); `separatorTokens` entries mix
     // single- and multi-char strings, like the reference's
-    val (seps, nonSeps, tokDict, locales)
-        : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val (seps, nonSeps, tokDict, locales, cjk)
+        : (Seq[String], Seq[String], Seq[String], Seq[String], String) = {
       val tp = new Path(s"$indexDir/tokenizer")
-      if (!fs.exists(tp)) (Nil, Nil, Nil, Nil)
+      if (!fs.exists(tp)) (Nil, Nil, Nil, Nil, "")
       else {
         val r = spark.read.parquet(s"$indexDir/tokenizer").collect()(0)
         def strs(f: String): Seq[String] =
@@ -70,7 +70,10 @@ object Dump {
           else Option(r.getAs[scala.collection.Seq[String]](f))
             .fold(Seq.empty[String])(_.toSeq)
         (strs("separators"), strs("nonSeparators"), strs("dictionary"),
-          strs("locales"))
+          strs("locales"),
+          if (r.schema.fieldNames.contains("cjkUnigrams"))
+            Option(r.getAs[String]("cjkUnigrams")).getOrElse("")
+          else "")
       }
     }
     // precomputed prefix tables are a build artifact, not a setting —
@@ -80,10 +83,11 @@ object Dump {
     val hasPrefixTables = fs.exists(new Path(s"$indexDir/prefix_meta"))
     Seq((stats("docsPerShard").toInt, stats("termBuckets").toInt,
         stats("blockSize").toInt, positions, stop, facetCols,
-        seps, nonSeps, tokDict, locales, hasPrefixTables))
+        seps, nonSeps, tokDict, locales, cjk, hasPrefixTables))
       .toDF("docsPerShard", "termBuckets", "blockSize", "positions",
         "stopWords", "facetColumns", "separatorTokens", "nonSeparatorTokens",
-        "tokenizerDictionary", "localizedAttributes", "hasPrefixTables")
+        "tokenizerDictionary", "localizedAttributes", "cjkUnigrams",
+        "hasPrefixTables")
       .repartition(1).write.mode("overwrite").json(s"$dumpDir/settings")
   }
 
@@ -124,7 +128,14 @@ object Dump {
           localesByFid = locs.map { e =>
             val i = e.indexOf(':')
             e.substring(0, i).toInt -> e.substring(i + 1)
-          }.toMap)
+          }.toMap,
+          cjkUnigrams = {
+            val v = if (st.schema.fieldNames.contains("cjkUnigrams"))
+              Option(st.getAs[String]("cjkUnigrams")).getOrElse("") else ""
+            require(v.isEmpty || v == "true" || v == "false",
+              s"dump settings: cjkUnigrams must be ''/'true'/'false', got '$v'")
+            if (v.isEmpty) None else Some(v.toBoolean)
+          })
       })
     val docs = spark.read.json(s"$dumpDir/documents")
       .select($"repo".cast("string"), $"path".cast("string"),

@@ -266,21 +266,49 @@ object IndexBuild {
     * the doc write is a narrow codegen'd projection joined with the
     * broadcast per-file offset table. Returns None when the corpus is
     * not a direct file scan (caller falls back to the sorted path). */
+  /** True iff `df` is a BARE file scan — only column-pruning nodes
+    * (Project/alias) above the source relation. A Filter, limit, join,
+    * or typed map between the files and the rows would break the
+    * storage-order id invariant silently: `_metadata.row_index` is the
+    * PHYSICAL row index, so a corpus with rows filtered out would
+    * produce per-file counts smaller than the surviving indices and
+    * docids would collide across files. Such plans must take the
+    * sorted fallback. */
+  private def isBareFileScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Boolean = p match {
+      case Project(_, child)        => walk(child)
+      case SubqueryAlias(_, child)  => walk(child)
+      case leaf: LeafNode           => leaf.nodeName.contains("Relation")
+      case _                        => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   private def docsStorageOrder(spark: SparkSession, corpus: Dataset[SourceFile],
                                indexDir: String): Option[Seq[LineageRow]] = {
     import spark.implicits._
     val src = corpus.toDF()
+    def fallBack(reason: String): Option[Seq[LineageRow]] = {
+      System.err.println("[build] storageOrderIds requested but the " +
+        s"corpus is not a bare file scan ($reason) — falling back to " +
+        "sorted docid assignment")
+      None
+    }
+    if (!isBareFileScan(src))
+      return fallBack("plan has filter/limit/join/transform nodes")
     val counts =
       try {
+        // analysis of BOTH _metadata columns up front: a source without
+        // row_index support (e.g. a JSON scan) throws here, before any
+        // job runs, and takes the fallback
+        src.select(col("_metadata.file_path"), col("_metadata.row_index"))
         src.select(col("_metadata.file_path").as("_file"))
           .groupBy($"_file").count()
           .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       } catch {
         case _: org.apache.spark.sql.AnalysisException =>
-          System.err.println("[build] storageOrderIds requested but the " +
-            "corpus is not a direct file scan (_metadata unavailable) — " +
-            "falling back to sorted docid assignment")
-          return None
+          return fallBack("_metadata file_path/row_index unavailable")
       }
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     require(offsets.last <= Int.MaxValue.toLong + 1,
@@ -357,11 +385,14 @@ object IndexBuild {
       }
     } else {
       // no positions: the tokenize pass feeds the posting shuffle
-      // directly; sentinel len rows ride the same shuffle
+      // directly; sentinel len rows ride the same shuffle. forFid(0):
+      // a single-field index's content is field 0, so its locale hint
+      // applies identically with or without positions
+      val tok0 = tok.forFid(0)
       def termDocKeys: Dataset[(String, Long)] = docsDf.select($"docId", $"content")
         .as[(Int, String)]
         .flatMap { case (id, c) =>
-          val toks = Tokenizer.tokenize(c, tok)
+          val toks = Tokenizer.tokenize(c, tok0)
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
           toks.foreach { t =>
             if (stop.isEmpty || !stop.contains(t.term))
@@ -465,10 +496,10 @@ object IndexBuild {
   private def doclenStage(spark: SparkSession, indexDir: String,
                           cfg: IndexConfig, fromPositions: Boolean): Unit = {
     import spark.implicits._
+    val src = if (fromPositions) "positions" else "postings"
+    val sentinelDir = new org.apache.hadoop.fs.Path(
+      s"$indexDir/$src/bucket=${cfg.termBuckets}")
     Lineage.stage(spark, indexDir, "doclen") {
-      val src = if (fromPositions) "positions" else "postings"
-      val sentinelDir = new org.apache.hadoop.fs.Path(
-        s"$indexDir/$src/bucket=${cfg.termBuckets}")
       val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(sentinelDir)) {
         val lens =
@@ -487,7 +518,6 @@ object IndexBuild {
             math.max(1, cfg.numPartitions / 4), $"docId")
           .sortWithinPartitions($"docId")
           .write.mode("overwrite").parquet(s"$indexDir/doclen")
-        fs.delete(sentinelDir, true): Unit
       } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/doclen"))) {
         // no sentinel partition and no doclen yet: either an index built
         // by a pre-doclen layout being resumed in place (docs/ still
@@ -498,6 +528,16 @@ object IndexBuild {
          else docs0.select($"docId", lit(0).cast("int").as("len")).limit(0))
           .write.mode("overwrite").parquet(s"$indexDir/doclen")
       }
+      Nil
+    }: Unit
+    // sentinel deletion is a SEPARATE committed stage: a kill halfway
+    // through the recursive delete must not leave a partial sentinel
+    // that a resumed doclen stage would re-extract OVER a complete
+    // doclen/ (the write stage above is only rerun if IT never
+    // committed, in which case the sentinel is still intact)
+    Lineage.stage(spark, indexDir, "doclen_gc") {
+      val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sentinelDir)) fs.delete(sentinelDir, true): Unit
       Nil
     }: Unit
   }
@@ -550,6 +590,11 @@ object IndexBuild {
       // staged write (overwrite = idempotent) + tagged publish into docs/:
       // a kill during either step re-runs the stage and converges
       val staging = s"$indexDir/_stage_docs_$batchId"
+      val baseSchema = spark.read.parquet(s"$indexDir/docs").schema
+      // pre-doclen (v7) layouts store len IN docs/ — delta rows must
+      // match the base schema, and the batch stays on the v7
+      // convention (no doclen/ delta; readers derive len from docs)
+      val legacyLen = baseSchema.fieldNames.contains("len")
       spark.createDataFrame(
         sortedRdd.mapPartitionsWithIndex { (pid, it) =>
           var id = bOffsets.value(pid)
@@ -557,13 +602,19 @@ object IndexBuild {
             require(id <= Int.MaxValue,
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
-            val r = org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
-              f.commit, f.lang, f.content, Sha.hex(f.content))
+            val r =
+              if (legacyLen)
+                org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
+                  f.commit, f.lang, f.content, Sha.hex(f.content),
+                  Tokenizer.countTokens(f.content, tok.forFid(0)))
+              else
+                org.apache.spark.sql.Row(id.toInt, f.repo, f.path,
+                  f.commit, f.lang, f.content, Sha.hex(f.content))
             id += 1
             r
           }
         },
-        spark.read.parquet(s"$indexDir/docs").schema)
+        baseSchema)
         .write.mode("overwrite").parquet(staging)
       Lineage.publishAppend(spark, staging, s"$indexDir/docs", s"b$batchId")
       counts.zipWithIndex.collect { case (c, p) if c > 0 =>
@@ -584,8 +635,12 @@ object IndexBuild {
       if (!range.isNullAt(0)) {
         val (lo, hi) = (range.getInt(0), range.getInt(1))
         val tb = cfg.termBuckets
-        val deltaDocs = spark.read.parquet(s"$indexDir/docs")
-          .filter($"docId".between(lo, hi))
+        val baseDocs = spark.read.parquet(s"$indexDir/docs")
+        // v7 layout: len lives in docs/ (just written there by the docs
+        // stage) — publishing a doclen/ delta would create a PARTIAL
+        // doclen table that readers would trust over the docs column
+        val legacyLen = baseDocs.columns.contains("len")
+        val deltaDocs = baseDocs.filter($"docId".between(lo, hi))
         val stop = cfg.stopWords
         // ONE tokenize pass over the delta: position rows (when enabled)
         // or term keys, with sentinel len rows riding the same shuffle
@@ -604,21 +659,24 @@ object IndexBuild {
             .select($"term", packKeyCol($"docId", $"tf").as("key"))
             .transform(encodeBlocks(_, cfg))
             .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-          val lstaging = s"$indexDir/_stage_doclen_$batchId"
-          spark.read.parquet(s"$pstaging/bucket=$tb")
-            .select($"docId", $"tf".as("len"))
-            .repartition(1)
-            .write.mode("overwrite").parquet(lstaging)
-          Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          if (!legacyLen) {
+            val lstaging = s"$indexDir/_stage_doclen_$batchId"
+            spark.read.parquet(s"$pstaging/bucket=$tb")
+              .select($"docId", $"tf".as("len"))
+              .repartition(1)
+              .write.mode("overwrite").parquet(lstaging)
+            Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          }
           val sfs = new org.apache.hadoop.fs.Path(pstaging)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           sfs.delete(new org.apache.hadoop.fs.Path(s"$pstaging/bucket=$tb"), true)
           Lineage.publishAppend(spark, staging, s"$indexDir/postings", s"b$batchId")
           Lineage.publishAppend(spark, pstaging, s"$indexDir/positions", s"b$batchId")
         } else {
+          val tok0 = tok.forFid(0) // single-field content = field 0
           deltaDocs.select($"docId", $"content").as[(Int, String)]
             .flatMap { case (id, c) =>
-              val toks = Tokenizer.tokenize(c, tok)
+              val toks = Tokenizer.tokenize(c, tok0)
               val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
               toks.foreach { t =>
                 if (stop.isEmpty || !stop.contains(t.term))
@@ -632,17 +690,19 @@ object IndexBuild {
             .write.mode("overwrite").partitionBy("bucket").parquet(staging)
           // extract the sentinel partition into a doclen delta, then
           // publish only the real posting buckets
-          val lstaging = s"$indexDir/_stage_doclen_$batchId"
-          spark.read.parquet(s"$staging/bucket=$tb")
-            .select($"docBytes", $"tfBytes")
-            .as[(Array[Byte], Array[Byte])]
-            .flatMap { case (db, tfb) =>
-              VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
-            }
-            .toDF("docId", "len")
-            .repartition(1)
-            .write.mode("overwrite").parquet(lstaging)
-          Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          if (!legacyLen) {
+            val lstaging = s"$indexDir/_stage_doclen_$batchId"
+            spark.read.parquet(s"$staging/bucket=$tb")
+              .select($"docBytes", $"tfBytes")
+              .as[(Array[Byte], Array[Byte])]
+              .flatMap { case (db, tfb) =>
+                VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
+              }
+              .toDF("docId", "len")
+              .repartition(1)
+              .write.mode("overwrite").parquet(lstaging)
+            Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+          }
           val sfs = new org.apache.hadoop.fs.Path(staging)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           sfs.delete(new org.apache.hadoop.fs.Path(s"$staging/bucket=$tb"), true)
@@ -843,8 +903,14 @@ object IndexBuild {
     // avgdl from the doclen table, NOT from dict cf sums: with stop
     // words the dictionary undercounts tokens while `len` (the BM25
     // norm) counts them all — avgdl must match len's definition or
-    // norms skew
-    val row = spark.read.parquet(s"$indexDir/doclen").select($"len")
+    // norms skew. Pre-doclen (v7) layouts keep len in docs/.
+    val lenDf = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/doclen")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(s"$indexDir/doclen")
+      else spark.read.parquet(s"$indexDir/docs")
+    }
+    val row = lenDf.select($"len")
       .agg(count(lit(1)), coalesce(sum($"len"), lit(0L))).collect()(0)
     val n = row.getLong(0)
     val tokens = row.getLong(1)
@@ -866,8 +932,13 @@ object IndexBuild {
       Seq(((t.separatorTokens.map(_.toString) ++ t.separatorStrings).toSeq.sorted,
           t.nonSeparatorTokens.toSeq.map(_.toString).sorted,
           t.dictionary.toSeq.sorted,
-          t.localesByFid.toSeq.sorted.map { case (fid, loc) => s"$fid:$loc" }))
-        .toDF("separators", "nonSeparators", "dictionary", "locales")
+          t.localesByFid.toSeq.sorted.map { case (fid, loc) => s"$fid:$loc" },
+          // index-LEVEL CJK unigram override ("" = autodetect): must
+          // roundtrip or the query side would segment CJK differently
+          // from the index
+          t.cjkUnigrams.fold("")(_.toString)))
+        .toDF("separators", "nonSeparators", "dictionary", "locales",
+          "cjkUnigrams")
         .repartition(1).write.mode("overwrite").parquet(s"$indexDir/tokenizer")
     }
   }

@@ -71,10 +71,14 @@ object Hybrid {
       // statistics estimate is only the screen: when it trips, confirm
       // with a BOUNDED count (limit cap+1 — never a full scan) before
       // failing, so a mis-estimated small frame still runs exact
+      // a cap at or beyond Int.MaxValue can't be confirmed with a
+      // bounded limit (and +1 would overflow) — such a cap is
+      // effectively "no guard", so skip the confirm
       if (indexDir.isEmpty && exactMaxRows > 0 &&
+          exactMaxRows < Int.MaxValue &&
           emb.queryExecution.optimizedPlan.stats.sizeInBytes >
             BigInt(exactMaxRows) * 512)
-        require(emb.limit((exactMaxRows + 1).toInt).count() <= exactMaxRows,
+        require(emb.limit(exactMaxRows.toInt + 1).count() <= exactMaxRows,
           s"embedding table exceeds $exactMaxRows rows and no LSH " +
             "index was given: build one with Similarity.buildLshIndex")
       graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVecId, pool)

@@ -93,13 +93,23 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
         localesByFid = strs("locales").map { e =>
           val i = e.indexOf(':')
           e.substring(0, i).toInt -> e.substring(i + 1)
-        }.toMap)
+        }.toMap,
+        cjkUnigrams =
+          if (!r.schema.fieldNames.contains("cjkUnigrams")) None
+          else Option(r.getAs[String]("cjkUnigrams"))
+            .filter(_.nonEmpty).map(_.toBoolean))
     }
   }
 
-  /** Parse a query string under this index's tokenizer settings. */
+  /** Parse a query string under this index's tokenizer settings. A
+    * single-field index has exactly one attribute (fid 0), so its
+    * locale hint unambiguously applies to the query too — both ends
+    * segment identically. Multi-field indexes keep the auto default
+    * (the reference's behavior without a query `locales` param: fields
+    * may carry different hints, so the query can't pick one). */
   def parseQuery(q: String): graft.query.ParsedQuery =
-    graft.query.QueryParser.parse(q, tokSettings)
+    graft.query.QueryParser.parse(q,
+      if (fieldWeights.isEmpty) tokSettings.forFid(0) else tokSettings)
 
   /** fid → weight for multi-field indexes (IndexBuild.buildMultiField);
     * empty for single-field. Lower weight = more important field

@@ -155,4 +155,61 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(e2.tokSettings == st, s"${e2.tokSettings}")
     assert(e2.dict.contains("北京") && !e2.dict.contains("北"))
   }
+
+  test("index-level cjkUnigrams override persists; locale hint applies " +
+      "on the positionless build path too") {
+    // cjkUnigrams=Some(false) alone must mark the settings non-default
+    // (else nothing is persisted and the query side diverges)
+    val off = Tokenizer.TokSettings(cjkUnigrams = Some(false))
+    assert(!off.isDefault)
+    val dir = Files.createTempDirectory("tokcjk").toString
+    val docs = Seq((0L, "foo 北京"), (1L, "bar")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    // positions = FALSE: the locale hint must flow through the direct
+    // posting-shuffle tokenize exactly as through positionRowsOf
+    IndexBuild.buildFromTable(spark, docs, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = false,
+        tokenizer = Tokenizer.TokSettings(localesByFid = Map(0 -> "en"))))
+    val e = new SearchEngine(spark, dir)
+    assert(e.dict.contains("北京") && !e.dict.contains("北"),
+      s"non-positions build must honor forFid(0): ${e.dict.keySet}")
+    // the single-field query side resolves the same hint: the whole-run
+    // query term matches, the unigram segmentation would not
+    assert(e.searchDF("北京", 10).collect().map(_.getInt(0)).toSet == Set(0))
+
+    // explicit index-level override roundtrips through persistence
+    val dir2 = Files.createTempDirectory("tokcjk2").toString
+    IndexBuild.buildFromTable(spark, docs, "doc_id", "text", "lang", "source",
+      dir2, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = false, tokenizer = off))
+    val e2 = new SearchEngine(spark, dir2)
+    assert(e2.tokSettings == off, s"${e2.tokSettings}")
+    assert(e2.dict.contains("北京") && !e2.dict.contains("北"))
+    // and through a dump
+    val dumpDir = Files.createTempDirectory("tokcjkdump").toString
+    val dir3 = Files.createTempDirectory("tokcjk3").toString
+    Dump.exportDump(spark, dir2, dumpDir)
+    Dump.importDump(spark, dumpDir, dir3, IndexConfig(numPartitions = 2))
+    assert(new SearchEngine(spark, dir3).tokSettings == off)
+  }
+
+  test("guardrails: empty separator string rejected; position bucket " +
+      "propagates null") {
+    intercept[IllegalArgumentException] {
+      Tokenizer.TokSettings(separatorStrings = Set(""))
+    }
+    // bucketPositionCol(null) must stay null so rank coalesce sees a
+    // missing slot as cost 0 (Spark least() SKIPS nulls — it would
+    // otherwise surface as max-cost bucket 47)
+    val r = spark.range(1)
+      .select(Tokenizer.bucketPositionCol(
+        org.apache.spark.sql.functions.lit(null).cast("int")).as("b"),
+        Tokenizer.bucketPositionCol(
+          org.apache.spark.sql.functions.lit(5000)).as("big"))
+      .collect()(0)
+    assert(r.isNullAt(0), "null position must bucket to null")
+    assert(r.getInt(1) == 40, "real positions keep their bucket")
+  }
 }

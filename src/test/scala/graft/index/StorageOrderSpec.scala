@@ -86,4 +86,24 @@ class StorageOrderSpec extends AnyFunSuite {
       .as[(String, String, String, Int)].collect().sortBy(r => (r._1, r._2, r._3))
     assert(byKey.map(_._4).toSeq == (0 until 12))
   }
+
+  test("storage-order falls back for a FILTERED file corpus (row_index " +
+      "is physical — filtered counts would collide docids)") {
+    val cdir = Files.createTempDirectory("soFiltCorpus").toString
+    corpus(40).toDS().repartition(3).write.mode("overwrite").parquet(cdir)
+    // a filter that drops low physical row indices: on the broken path
+    // file B's offset would overlap file A's surviving row_index range
+    val filtered = spark.read.parquet(cdir).as[SourceFile]
+      .filter(f => f.path.drop(1).dropRight(6).toInt % 2 == 1)
+    val dir = Files.createTempDirectory("soFiltIdx").toString
+    IndexBuild.build(spark, filtered, dir, cfg.copy(storageOrderIds = true))
+    val e = new SearchEngine(spark, dir)
+    val ids = e.docs.select($"docId").as[Int].collect().sorted.toSeq
+    // dense, unique, 0..n-1 — the collision bug would duplicate ids
+    assert(ids == (0 until 20), s"expected dense unique ids, got $ids")
+    // and the sorted fallback's semantics hold
+    val byKey = e.docs.select($"repo", $"path", $"commit", $"docId")
+      .as[(String, String, String, Int)].collect().sortBy(r => (r._1, r._2, r._3))
+    assert(byKey.map(_._4).toSeq == (0 until 20))
+  }
 }
