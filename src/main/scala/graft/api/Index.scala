@@ -36,7 +36,11 @@ final case class SearchRequest(
     // the per-field `_formatted` map get tags / crop windows; `highlight
     // = true` / `cropLength` alone mean "all retrieved fields".
     attributesToHighlight: Option[Seq[String]] = None,
-    attributesToCrop: Option[Seq[String]] = None)
+    attributesToCrop: Option[Seq[String]] = None,
+    // reference SearchQuery.locales: query-side segmentation hint; the
+    // first entry decides the CJK unigram mode for the query string
+    // (index-side segmentation is per-field via localizedAttributes)
+    locales: Seq[String] = Nil)
 
 /** Index-level client facade: settings (synonyms live here, like the
   * reference's index settings; stop words and field weights are
@@ -114,7 +118,8 @@ final class Index(val engine: SearchEngine,
           strategy = strategy,
           scoreThreshold = r.rankingScoreThreshold,
           searchOnFids = fids,
-          rankingRules = rules)
+          rankingRules = rules,
+          locales = r.locales)
       }
     val sliced =
       if (r.offset == 0) ranked
@@ -161,11 +166,12 @@ final class Index(val engine: SearchEngine,
     def cropTerms: Set[String] = terms ++ phrases.flatten
   }
   private def matchModel(r: SearchRequest): MatchModel = {
-    val slots = mr.analyze(r.q, r.lastWordIsPrefix)
+    val slots = mr.analyze(r.q, r.lastWordIsPrefix, r.locales)
     MatchModel(
       slots.filterNot(_.noTypo).flatMap(_.derivations.map(_._1)).toSet,
       slots.flatMap(_.prefixDerivs).toSet,
-      engine.parseQuery(r.q).phrases ++ slots.flatMap(_.phraseDerivs.map(_._1)))
+      engine.parseQuery(r.q, r.locales).phrases ++
+        slots.flatMap(_.phraseDerivs.map(_._1)))
   }
 
   private def withFormatted(page: DataFrame, r: SearchRequest): DataFrame = {
@@ -358,7 +364,8 @@ final class Index(val engine: SearchEngine,
           strategy = strategyOf(r.matchingStrategy),
           scoreThreshold = r.rankingScoreThreshold,
           searchOnFids = fidsOf(r.attributesToSearchOn),
-          rankingRules = rules)._1.select(col("docId"))
+          rankingRules = rules,
+          locales = r.locales)._1.select(col("docId"))
       }
     r.distinct match {
       case None => uni.count()

@@ -124,8 +124,9 @@ final class MeiliRank(engine: SearchEngine,
   private val spark = engine.spark
   import spark.implicits._
 
-  def analyze(q: String, lastIsPrefix: Boolean = false): Seq[Slot] =
-    analyzeParsed(engine.parseQuery(q), lastIsPrefix)
+  def analyze(q: String, lastIsPrefix: Boolean = false,
+              locales: Seq[String] = Nil): Seq[Slot] =
+    analyzeParsed(engine.parseQuery(q, locales), lastIsPrefix)
 
   /** Analyze a parsed query into slots with typo-budgeted derivations.
     * ONE batched dictionary lookup covers every membership test (words,
@@ -433,9 +434,11 @@ final class MeiliRank(engine: SearchEngine,
              strategy: TermsMatching = TermsMatching.Last,
              scoreThreshold: Option[Double] = None,
              searchOnFids: Option[Set[Int]] = None,
-             rankingRules: Seq[String] = MeiliRank.DefaultRules): DataFrame = {
+             rankingRules: Seq[String] = MeiliRank.DefaultRules,
+             locales: Seq[String] = Nil): DataFrame = {
     val (filtered, sortCols, n) = scoredUniverse(q, filterExpr, sortBy,
-      lastIsPrefix, strategy, scoreThreshold, searchOnFids, rankingRules)
+      lastIsPrefix, strategy, scoreThreshold, searchOnFids, rankingRules,
+      locales)
     if (n == 0)
       return engine.docsRaw.limit(0)
         .select($"docId", lit(0).as("rankingScore"))
@@ -468,9 +471,10 @@ final class MeiliRank(engine: SearchEngine,
              strategy: TermsMatching = TermsMatching.Last,
              scoreThreshold: Option[Double] = None,
              searchOnFids: Option[Set[Int]] = None,
-             rankingRules: Seq[String] = MeiliRank.DefaultRules)
+             rankingRules: Seq[String] = MeiliRank.DefaultRules,
+             locales: Seq[String] = Nil)
       : (DataFrame, Seq[Column], Int) = {
-    val pq = engine.parseQuery(q)
+    val pq = engine.parseQuery(q, locales)
     val (slots, kposArr, perDoc) =
       matchedInternal(pq, lastIsPrefix, strategy, searchOnFids)
     val n = slots.length

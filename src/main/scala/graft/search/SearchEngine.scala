@@ -111,6 +111,19 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     graft.query.QueryParser.parse(q,
       if (fieldWeights.isEmpty) tokSettings.forFid(0) else tokSettings)
 
+  /** [[parseQuery]] with an explicit query-side `locales` hint (the
+    * reference's search-time `locales` parameter, SearchQuery.locales):
+    * the first entry decides the CJK segmentation mode for the QUERY
+    * string, overriding autodetect/the index-level default. Empty =
+    * the default behavior above. */
+  def parseQuery(q: String, locales: Seq[String]): graft.query.ParsedQuery =
+    locales.headOption match {
+      case None => parseQuery(q)
+      case Some(loc) => graft.query.QueryParser.parse(q,
+        tokSettings.copy(cjkUnigrams =
+          Some(Tokenizer.TokSettings.isCjkLocale(loc))))
+    }
+
   /** fid → weight for multi-field indexes (IndexBuild.buildMultiField);
     * empty for single-field. Lower weight = more important field
     * (reference fieldids_weights_map). */

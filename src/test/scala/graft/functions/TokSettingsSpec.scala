@@ -195,6 +195,36 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(new SearchEngine(spark, dir3).tokSettings == off)
   }
 
+  test("query-side locales param controls query segmentation on a " +
+      "multi-field index (reference SearchQuery.locales)") {
+    import graft.api.{Index, SearchRequest}
+    val dir = Files.createTempDirectory("tokqloc").toString
+    val df = Seq((0L, "北京 news", "alpha beta"), (1L, "plain title", "gamma"))
+      .toDF("doc_id", "title", "body")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    // title (fid 0) carries locale "en": the Han run is indexed WHOLE
+    IndexBuild.buildMultiField(spark, df, "doc_id",
+      Seq(("title", 0), ("body", 1)), "lang", "source", dir,
+      IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2, positions = true,
+        tokenizer = Tokenizer.TokSettings(localesByFid = Map(0 -> "en"))))
+    val e = new SearchEngine(spark, dir)
+    assert(e.dict.contains("北京") && !e.dict.contains("北"))
+    val idx = new Index(e)
+    // multi-field default (auto): the query unigram-splits to 北|京 and
+    // only the NGRAM-MERGE derivation (cost n-1 = 1, reference query
+    // graph) recovers the whole indexed term
+    val auto = idx.search(SearchRequest(q = "北京"))
+      .select($"docId", $"typoCost").as[(Int, Int)].collect()
+    assert(auto.toSeq == Seq((0, 1)), s"${auto.toSeq}")
+    // the query-side locales hint segments the query like the field: one
+    // exact term, typo cost 0
+    val hinted = idx.search(SearchRequest(q = "北京", locales = Seq("en")))
+      .select($"docId", $"typoCost").as[(Int, Int)].collect()
+    assert(hinted.toSeq == Seq((0, 0)), s"${hinted.toSeq}")
+  }
+
   test("guardrails: empty separator string rejected; position bucket " +
       "propagates null") {
     intercept[IllegalArgumentException] {
