@@ -133,6 +133,14 @@ object SparkEntry {
     "q_facet_lang" -> ((s, dir) =>
       DocIndex.engine(s, dir).facetDistribution("batch", "lang")
         .select(col("lang"), col("n"))),
+    // sortFacetValuesBy=alpha (the reference's per-facet DEFAULT,
+    // facet_values_sort.rs): lexicographic value order, count payload
+    "q_facet_alpha" -> ((s, dir) => {
+      val e = DocIndex.engine(s, dir)
+      e.facetCountsOver(e.candidates("batch"), "lang", maxValues = 3,
+          sortBy = "alpha")
+        .select(col("lang"), col("n"))
+    }),
     "q_facet_stats" -> ((s, dir) =>
       DocIndex.engine(s, dir)
         .facetStats("batch", length(col("content")), "nchars")),
@@ -837,6 +845,11 @@ object SparkEntry {
          |SELECT d.lang AS lang, count(*) AS n FROM documents d
          |JOIN cand USING(doc_id) GROUP BY d.lang
          |ORDER BY n DESC, lang ASC LIMIT 100""".stripMargin,
+    "q_facet_alpha" ->
+      s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch')
+         |SELECT d.lang AS lang, count(*) AS n FROM documents d
+         |JOIN cand USING(doc_id) GROUP BY d.lang
+         |ORDER BY lang ASC LIMIT 3""".stripMargin,
     "q_facet_stats" ->
       s"""$TOK, cand AS (SELECT doc_id FROM tf WHERE term = 'batch')
          |SELECT min(length(d.text)) AS min_nchars, max(length(d.text)) AS max_nchars,

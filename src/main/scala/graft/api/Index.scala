@@ -399,12 +399,21 @@ final class Index(val engine: SearchEngine,
     * strategy and attributesToSearchOn — intersected with the request
     * filter. */
   def facetDistributions(r: SearchRequest, facets: Seq[String],
-                         maxValues: Int = 100): Map[String, DataFrame] = {
+                         maxValues: Int = 100,
+                         sortFacetValuesBy: Map[String, String] = Map.empty)
+      : Map[String, DataFrame] = {
     // one universe, broadcast into every per-facet semi-join (same hint
     // the engine's facetDistribution uses); each returned DataFrame is
     // an independent plan — callers wanting several facets materialized
-    // together should cache the request's result set
+    // together should cache the request's result set.
+    // sortFacetValuesBy is the reference's per-facet setting map
+    // (faceting.sortFacetValuesBy, "*" wildcard): unlisted facets use
+    // the reference DEFAULT, alphabetical ascending
     val universe = broadcast(requestUniverse(r))
-    facets.map(fc => fc -> engine.facetCountsOver(universe, fc, maxValues)).toMap
+    facets.map { fc =>
+      val order = sortFacetValuesBy.getOrElse(fc,
+        sortFacetValuesBy.getOrElse("*", "alpha"))
+      fc -> engine.facetCountsOver(universe, fc, maxValues, order)
+    }.toMap
   }
 }

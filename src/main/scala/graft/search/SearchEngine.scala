@@ -407,13 +407,27 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
 
   /** Facet value counts over an explicit docId universe (shared by
     * facetDistribution and the api facade's per-request facets — ONE
-    * definition of the count/tie-order/limit semantics). */
+    * definition of the count/tie-order/limit semantics).
+    *
+    * `sortBy` mirrors the reference's FacetValuesSort
+    * (facet_values_sort.rs): "count" = decreasing count with value-asc
+    * tie-break; "alpha" = lexicographic ascending (the reference's
+    * per-facet DEFAULT — the api facade defaults to it; this engine
+    * helper keeps "count" for direct callers). maxValues truncates in
+    * the chosen order, like the reference's bounded iteration. */
   def facetCountsOver(universe: DataFrame, facetCol: String,
-                      maxValues: Int = 100): DataFrame =
-    docsFor(facetCol).join(universe.select($"docId"), Seq("docId"), "left_semi")
+                      maxValues: Int = 100,
+                      sortBy: String = "count"): DataFrame = {
+    val counts = docsFor(facetCol)
+      .join(universe.select($"docId"), Seq("docId"), "left_semi")
       .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(facetCol).asc)
-      .limit(maxValues)
+    (sortBy match {
+      case "count" => counts.orderBy(col("n").desc, col(facetCol).asc)
+      case "alpha" => counts.orderBy(col(facetCol).asc)
+      case other => throw new IllegalArgumentException(
+        s"sortFacetValuesBy must be 'alpha' or 'count', got '$other'")
+    }).limit(maxValues)
+  }
 
   /** Narrowest doc view that can serve column `c` (only `len` needs the
     * doclen join). */

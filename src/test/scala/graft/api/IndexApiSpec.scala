@@ -173,6 +173,22 @@ class IndexApiSpec extends AnyFunSuite {
       SearchRequest(q = "spark merge", matchingStrategy = "all"), Seq("lang"))
     val allN = all("lang").collect().map(_.getLong(1)).sum
     assert(allN == 4, s"docs matching BOTH words: $allN") // doc 4 excluded
+
+    // sortFacetValuesBy (reference faceting setting): default is the
+    // reference's Alpha — values ascend lexicographically; "count" and
+    // the "*" wildcard opt back into decreasing-count order
+    val alpha = idx.facetDistributions(SearchRequest(q = "spark merge"),
+      Seq("lang"))("lang").collect().map(_.getString(0)).toSeq
+    assert(alpha == alpha.sorted, s"default must be alpha order: $alpha")
+    val byCount = idx.facetDistributions(SearchRequest(q = "spark merge"),
+      Seq("lang"), sortFacetValuesBy = Map("*" -> "count"))("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(byCount.map(_._2).toSeq == byCount.map(_._2).sorted.reverse.toSeq,
+      s"count order: $byCount")
+    intercept[IllegalArgumentException] {
+      idx.facetDistributions(SearchRequest(q = "spark"), Seq("lang"),
+        sortFacetValuesBy = Map("lang" -> "bogus"))("lang").collect()
+    }
   }
 
   test("totalHits under distinct counts the collapsed universe (== page walk)") {
