@@ -43,6 +43,19 @@ import graft.functions.{BM25, Tokenizer, VByte}
   *   (3 passes of every content byte over the wire). Requires a
   *   file-backed corpus (parquet/json scan); falls back to the sorted
   *   path otherwise. Ids remain deterministic: same files, same ids. */
+/** @param chunkedShuffle map-side posting-chunk combine: before the
+  *   posting exchange, each map task packs its per-(term, shard)
+  *   postings into delta+VByte chunk rows, so the shuffle ships the
+  *   term string once per chunk and ~3-5 bytes per posting instead of
+  *   one ~32-byte (term, key) row each. This is the Spark re-expression
+  *   of the reference's per-thread partial caches merged post-exchange
+  *   (crates/milli/src/update/new/extract/cache.rs:281 BalancedCaches;
+  *   grenad sort-merge in the old pipeline) — shuffle bytes are the
+  *   build's dominant bandwidth draw, and bandwidth is what multi-core
+  *   contention starves first, so fewer bytes is a direct
+  *   scaling-efficiency lever. Decoded back to the exact same sorted
+  *   (term, key) stream on the reduce side; output blocks are
+  *   byte-identical to the row shuffle. */
 final case class IndexConfig(
     docsPerShard: Int = 1 << 14,
     termBuckets: Int = 8,
@@ -52,7 +65,8 @@ final case class IndexConfig(
     positions: Boolean = false,
     stopWords: Set[String] = Set.empty,
     tokenizer: Tokenizer.TokSettings = Tokenizer.TokSettings.Default,
-    storageOrderIds: Boolean = false)
+    storageOrderIds: Boolean = false,
+    chunkedShuffle: Boolean = true)
 
 /** Inverted-index builder: the Spark-first re-expression of the
   * reference's document-indexing pipeline (reference:
@@ -132,20 +146,155 @@ object IndexBuild {
     shiftleft(docId.cast("long"), 32).bitwiseOR(tf.cast("long"))
 
   /** The standard posting-block encode pipeline over (term, key) rows:
-    * salted repartition on (term, derived shard) → in-partition sort →
-    * streaming block encoder. One definition of the shuffle shape for
-    * build / append / prefix / multi-field. */
+    * (optional map-side chunk combine →) salted repartition on
+    * (term, derived shard) → in-partition sort → streaming block
+    * encoder. One definition of the shuffle shape for build / append /
+    * prefix / multi-field. With `cfg.chunkedShuffle` the exchange ships
+    * pre-packed chunk rows (see [[chunkPartition]]) that the reduce
+    * side flattens back to the identical sorted (term, key) stream —
+    * same blocks out, a fraction of the shuffle bytes. */
   def encodeBlocks(df: DataFrame, cfg: IndexConfig): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.repartition(cfg.numPartitions, col("term"),
-        expr(s"key div CAST(${cfg.docsPerShard.toLong << 32} AS BIGINT)"))
-      .sortWithinPartitions(col("term"), col("key"))
-      .as[(String, Long)]
-      .mapPartitions(rows =>
-        encodePartition(rows, cfg.blockSize, cfg.termBuckets, cfg.docsPerShard))
-      .toDF(EncodedCols: _*)
+    val shardWidth = cfg.docsPerShard.toLong << 32
+    if (cfg.chunkedShuffle) {
+      df.select(col("term"), col("key")).as[(String, Long)]
+        .mapPartitions(rows => chunkPartition(rows, cfg.docsPerShard))
+        .toDF("term", "firstKey", "docBytes", "tfBytes")
+        .repartition(cfg.numPartitions, col("term"),
+          expr(s"firstKey div CAST($shardWidth AS BIGINT)"))
+        .sortWithinPartitions(col("term"), col("firstKey"))
+        .as[(String, Long, Array[Byte], Array[Byte])]
+        .mapPartitions(rows => encodePartition(flattenChunks(rows),
+          cfg.blockSize, cfg.termBuckets, cfg.docsPerShard))
+        .toDF(EncodedCols: _*)
+    } else {
+      df.repartition(cfg.numPartitions, col("term"),
+          expr(s"key div CAST($shardWidth AS BIGINT)"))
+        .sortWithinPartitions(col("term"), col("key"))
+        .as[(String, Long)]
+        .mapPartitions(rows =>
+          encodePartition(rows, cfg.blockSize, cfg.termBuckets, cfg.docsPerShard))
+        .toDF(EncodedCols: _*)
+    }
   }
+
+  /** Entries buffered per map task before a full chunk flush: 2M packed
+    * (docId, tf) longs ≈ 16 MB plus per-term buffer overhead — small
+    * against executor memory, large enough that hot terms amortize
+    * their string to nothing. */
+  final val ChunkFlushEntries: Int = 1 << 21
+
+  /** Map-side combine for the posting shuffle: groups this partition's
+    * (term, key) stream into per-(term, shard) chunks — docids
+    * delta+VByte, tfs VByte, exactly the block codec — and emits one
+    * (term, firstKey, docBytes, tfBytes) row per chunk. A chunk never
+    * spans shards (the exchange salts by shard) and its keys are sorted
+    * at flush, so chunks of one (term, shard) ordered by firstKey
+    * nearly always concatenate into a sorted stream ([[flattenChunks]]
+    * merges the rare overlap). Memory is bounded by `flushEntries`:
+    * crossing it flushes every buffer, so skewed terms simply produce
+    * more chunks. */
+  def chunkPartition(rows: Iterator[(String, Long)], docsPerShard: Int,
+                     flushEntries: Int = ChunkFlushEntries)
+      : Iterator[(String, Long, Array[Byte], Array[Byte])] =
+    new Iterator[(String, Long, Array[Byte], Array[Byte])] {
+      private val bufs = new scala.collection.mutable.AnyRefMap[String, ArrayBuffer[Long]]
+      private var entries = 0
+      private var out: Iterator[(String, Long, Array[Byte], Array[Byte])] =
+        Iterator.empty
+
+      private def chunkOf(term: String, b: ArrayBuffer[Long])
+          : (String, Long, Array[Byte], Array[Byte]) = {
+        val ks = b.toArray
+        // file-packed scan partitions can interleave docid ranges —
+        // sort restores strict order (a no-op pass when already sorted)
+        java.util.Arrays.sort(ks)
+        val docs = new Array[Int](ks.length)
+        val tfs = new Array[Int](ks.length)
+        var i = 0
+        while (i < ks.length) { docs(i) = keyDoc(ks(i)); tfs(i) = keyTf(ks(i)); i += 1 }
+        (term, ks(0), VByte.encodeDeltas(docs), VByte.encode(tfs))
+      }
+
+      private def fill(): Unit =
+        while (!out.hasNext && rows.hasNext) {
+          val ready = ArrayBuffer.empty[(String, Long, Array[Byte], Array[Byte])]
+          while (rows.hasNext && entries < flushEntries) {
+            val (t, k) = rows.next()
+            val b = bufs.getOrElseUpdate(t, new ArrayBuffer[Long](4))
+            if (b.nonEmpty &&
+                keyDoc(b(b.length - 1)) / docsPerShard != keyDoc(k) / docsPerShard) {
+              // shard boundary: seal this term's chunk, start the next
+              ready += chunkOf(t, b)
+              entries -= b.length
+              b.clear()
+            }
+            b += k
+            entries += 1
+          }
+          if (!rows.hasNext || entries >= flushEntries) {
+            bufs.foreach { case (t, b) => if (b.nonEmpty) ready += chunkOf(t, b) }
+            bufs.clear()
+            entries = 0
+          }
+          out = ready.iterator
+        }
+
+      override def hasNext: Boolean = { fill(); out.hasNext }
+      override def next(): (String, Long, Array[Byte], Array[Byte]) = {
+        fill(); out.next()
+      }
+    }
+
+  /** Reduce-side inverse of [[chunkPartition]]: chunk rows sorted by
+    * (term, firstKey) → the sorted (term, key) stream
+    * [[encodePartition]] expects. Consecutive same-term chunks whose
+    * docid ranges overlap (possible only when a map task saw docids out
+    * of order) are decoded together and merge-sorted; the common
+    * disjoint case streams one chunk at a time. */
+  def flattenChunks(rows: Iterator[(String, Long, Array[Byte], Array[Byte])])
+      : Iterator[(String, Long)] =
+    new Iterator[(String, Long)] {
+      private val it = rows.buffered
+      private var term: String = null
+      private var keys: Array[Long] = Array.emptyLongArray
+      private var pos = 0
+
+      private def decode(c: (String, Long, Array[Byte], Array[Byte])): Array[Long] = {
+        val docs = VByte.decodeDeltas(c._3)
+        val tfs = VByte.decode(c._4)
+        val ks = new Array[Long](docs.length)
+        var i = 0
+        while (i < docs.length) { ks(i) = packKey(docs(i), tfs(i)); i += 1 }
+        ks
+      }
+
+      private def refill(): Unit = {
+        val head = it.next()
+        term = head._1
+        var cur = decode(head)
+        while (it.hasNext && it.head._1 == term &&
+               keyDoc(it.head._2) <= keyDoc(cur(cur.length - 1))) {
+          val nxt = decode(it.next())
+          val merged = new Array[Long](cur.length + nxt.length)
+          System.arraycopy(cur, 0, merged, 0, cur.length)
+          System.arraycopy(nxt, 0, merged, cur.length, nxt.length)
+          java.util.Arrays.sort(merged) // docids are globally unique → strict order
+          cur = merged
+        }
+        keys = cur
+        pos = 0
+      }
+
+      override def hasNext: Boolean = pos < keys.length || it.hasNext
+      override def next(): (String, Long) = {
+        if (pos >= keys.length) refill()
+        val k = keys(pos)
+        pos += 1
+        (term, k)
+      }
+    }
 
   /** Live (non-tombstoned) documents of an index — the single
     * definition of the tombstone-exclusion join (used by facet builds,
@@ -167,7 +316,7 @@ object IndexBuild {
   def liveDocsWithLen(spark: SparkSession, indexDir: String): DataFrame = {
     val live = liveDocs(spark, indexDir)
     if (live.columns.contains("len")) live
-    else live.join(spark.read.parquet(s"$indexDir/doclen"), Seq("docId"))
+    else live.join(readDoclen(spark, indexDir), Seq("docId"))
   }
 
   /** Per-doc tokenize + aggregate: one TermDoc row per distinct term.
@@ -348,12 +497,18 @@ object IndexBuild {
 
     if (cfg.positions) {
       // positions FIRST (single tokenize; per-doc grouping is doc-local,
-      // so the only shuffle is the by-term repartition for the write)
+      // so the only shuffle is the by-term repartition for the write).
+      // The repartition is salted by derived shard: partitionBy(bucket)
+      // already controls on-disk placement, and without the salt every
+      // [[LenTerm]] sentinel row (one per document) hashes to ONE
+      // reducer — a single task sorting and writing a row per document,
+      // a hard skew wall at the 10^12-doc design target.
       Lineage.stage(spark, indexDir, "positions") {
         docsDf.select($"docId", $"content").as[(Int, String)]
           .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) }
           .toDF(PositionsCols: _*)
-          .repartition(cfg.numPartitions, $"term")
+          .repartition(cfg.numPartitions, $"term",
+            expr(s"docId div ${cfg.docsPerShard}"))
           .sortWithinPartitions($"term", $"docId")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$indexDir/positions")
@@ -412,9 +567,14 @@ object IndexBuild {
             postingLineage(spark, s"$indexDir/postings/bucket=$b", s"postings_bucket_$b")
           }
         }
-        Lineage.stage(spark, indexDir, s"postings_bucket_len") {
-          encoded(termDocKeys.filter(_._1 == LenTerm)).drop("bucket")
-            .write.mode("overwrite").parquet(s"$indexDir/postings/bucket=$tb")
+        // wave path: doclen straight from the sentinel keys (the waves
+        // re-tokenize per bucket by design, so one more pass for the
+        // tiny doclen table is the simpler trade than encode+decode)
+        Lineage.stage(spark, indexDir, "doclen") {
+          termDocKeys.filter(_._1 == LenTerm)
+            .map(t => (keyDoc(t._2), keyTf(t._2)))
+            .toDF("docId", "len")
+            .write.mode("overwrite").parquet(s"$indexDir/doclen")
           Nil
         }
       } else {
@@ -422,10 +582,15 @@ object IndexBuild {
           encoded(termDocKeys)
             .write.mode("overwrite").partitionBy("bucket")
             .parquet(s"$indexDir/postings")
+          // doclen extraction FUSED into this stage (the reason it used
+          // to be two extra stages — a partial-sentinel kill window —
+          // is gone: a kill anywhere in here re-runs the whole stage
+          // from a clean overwrite)
+          extractDoclenEncoded(spark, indexDir, cfg)
           postingLineage(spark, s"$indexDir/postings", "postings")
         }
+        doclenStage(spark, indexDir, cfg, fromPositions = false)
       }
-      doclenStage(spark, indexDir, cfg, fromPositions = false)
     }
 
     // ---- stage: dict — derived from posting-block metadata -------------
@@ -488,11 +653,48 @@ object IndexBuild {
     } ++ Iterator.single((LenTerm, docId, Array(total), total, termBuckets))
   }
 
-  /** Extract the per-doc token counts from the sentinel partition
-    * (`bucket=<termBuckets>` of positions/ or postings/) into the narrow
-    * doclen/ table (docId, len), then DELETE the sentinel partition.
-    * Idempotent under kill/resume: the extraction is an overwrite and
-    * runs only while the sentinel partition still exists. */
+  /** Decode the encoded [[LenTerm]] sentinel blocks (postings
+    * `bucket=<termBuckets>`) into the narrow doclen/ table, then delete
+    * the sentinel partition. Called INSIDE the postings stage: a kill
+    * anywhere in the sequence re-runs the whole stage from a clean
+    * overwrite, so there is no partial-sentinel window (the reason the
+    * extraction used to be two extra lineage stages). No repartition:
+    * the decoded rows inherit the shard-salted, docId-sorted layout of
+    * the sentinel blocks. */
+  private def extractDoclenEncoded(spark: SparkSession, indexDir: String,
+                                   cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val sentinelDir = new org.apache.hadoop.fs.Path(
+      s"$indexDir/postings/bucket=${cfg.termBuckets}")
+    val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sentinelDir)) {
+      spark.read.parquet(sentinelDir.toString)
+        .select($"docBytes", $"tfBytes")
+        .as[(Array[Byte], Array[Byte])]
+        .flatMap { case (db, tfb) =>
+          VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
+        }
+        .toDF("docId", "len")
+        .write.mode("overwrite").parquet(s"$indexDir/doclen")
+      fs.delete(sentinelDir, true): Unit
+    }
+  }
+
+  /** The doclen/ commit stage.
+    *
+    * Positions path: ZERO Spark jobs — the sentinel partition
+    * (`positions/bucket=<termBuckets>`, one (docId, tf=len) row per
+    * document, shard-salted and docId-sorted by the positions write) IS
+    * the doclen table; it is claimed by an atomic directory rename.
+    * Readers go through [[readDoclen]], which prunes the extra columns.
+    * At the 10^12-doc target this also removes what used to be a full
+    * (docId, len) re-shuffle + rewrite of one row per corpus document.
+    *
+    * Non-positions path: extraction is fused into the postings stage
+    * ([[extractDoclenEncoded]]); this stage is the cross-version /
+    * empty-corpus guard — it only acts when doclen/ is still missing
+    * (pre-fusion postings commit, pre-doclen docs layout, or an empty
+    * corpus). */
   private def doclenStage(spark: SparkSession, indexDir: String,
                           cfg: IndexConfig, fromPositions: Boolean): Unit = {
     import spark.implicits._
@@ -501,28 +703,20 @@ object IndexBuild {
       s"$indexDir/$src/bucket=${cfg.termBuckets}")
     Lineage.stage(spark, indexDir, "doclen") {
       val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(sentinelDir)) {
-        val lens =
-          if (fromPositions)
-            spark.read.parquet(sentinelDir.toString)
-              .select($"docId", $"tf".as("len"))
-          else
-            spark.read.parquet(sentinelDir.toString)
-              .select($"docBytes", $"tfBytes")
-              .as[(Array[Byte], Array[Byte])]
-              .flatMap { case (db, tfb) =>
-                VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
-              }
-              .toDF("docId", "len")
-        lens.repartitionByRange(
-            math.max(1, cfg.numPartitions / 4), $"docId")
-          .sortWithinPartitions($"docId")
-          .write.mode("overwrite").parquet(s"$indexDir/doclen")
-      } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/doclen"))) {
-        // no sentinel partition and no doclen yet: either an index built
-        // by a pre-doclen layout being resumed in place (docs/ still
-        // carries the len column — derive from it), or a genuinely empty
-        // corpus (commit an empty doclen so stats/readers work)
+      val doclenPath = new org.apache.hadoop.fs.Path(s"$indexDir/doclen")
+      if (fromPositions && fs.exists(sentinelDir)) {
+        if (fs.exists(doclenPath)) fs.delete(doclenPath, true)
+        require(fs.rename(sentinelDir, doclenPath),
+          s"rename $sentinelDir -> $doclenPath failed")
+      } else if (!fromPositions && fs.exists(sentinelDir)) {
+        // cross-version resume: postings committed by a layout that had
+        // not fused the extraction — run it here
+        extractDoclenEncoded(spark, indexDir, cfg)
+      } else if (!fs.exists(doclenPath)) {
+        // no sentinel and no doclen: either a pre-doclen layout resumed
+        // in place (docs/ still carries len — derive from it), or a
+        // genuinely empty corpus (commit an empty doclen so
+        // stats/readers work)
         val docs0 = spark.read.parquet(s"$indexDir/docs")
         (if (docs0.columns.contains("len")) docs0.select($"docId", $"len")
          else docs0.select($"docId", lit(0).cast("int").as("len")).limit(0))
@@ -530,16 +724,20 @@ object IndexBuild {
       }
       Nil
     }: Unit
-    // sentinel deletion is a SEPARATE committed stage: a kill halfway
-    // through the recursive delete must not leave a partial sentinel
-    // that a resumed doclen stage would re-extract OVER a complete
-    // doclen/ (the write stage above is only rerun if IT never
-    // committed, in which case the sentinel is still intact)
-    Lineage.stage(spark, indexDir, "doclen_gc") {
-      val fs = sentinelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(sentinelDir)) fs.delete(sentinelDir, true): Unit
-      Nil
-    }: Unit
+  }
+
+  /** The narrow (docId, len) doc-length view, whatever the physical
+    * doclen/ layout: projected (docId, len) files (non-positions builds,
+    * appends, legacy), or the renamed positions sentinel partition
+    * where `tf` carries the length and extra columns are pruned by a
+    * fixed read schema. The single definition for every reader (stats,
+    * docs views, SearchEngine). */
+  def readDoclen(spark: SparkSession, indexDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$indexDir/doclen")
+    if (df.columns.contains("len")) df.select("docId", "len")
+    else
+      spark.read.schema("docId INT, tf INT").parquet(s"$indexDir/doclen")
+        .select(col("docId"), col("tf").as("len"))
   }
 
   /** dict/ from a column-pruned posting-metadata scan (shared by build
@@ -660,12 +858,21 @@ object IndexBuild {
             .transform(encodeBlocks(_, cfg))
             .write.mode("overwrite").partitionBy("bucket").parquet(staging)
           if (!legacyLen) {
-            val lstaging = s"$indexDir/_stage_doclen_$batchId"
-            spark.read.parquet(s"$pstaging/bucket=$tb")
-              .select($"docId", $"tf".as("len"))
-              .repartition(1)
-              .write.mode("overwrite").parquet(lstaging)
-            Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+            // match the base doclen layout: raw (renamed sentinel,
+            // read via readDoclen's fixed docId/tf schema) gets the
+            // staged sentinel files moved in as-is — zero jobs; a
+            // projected (docId, len) base gets a projected delta
+            if (!spark.read.parquet(s"$indexDir/doclen").columns.contains("len"))
+              Lineage.publishAppend(spark, s"$pstaging/bucket=$tb",
+                s"$indexDir/doclen", s"b$batchId")
+            else {
+              val lstaging = s"$indexDir/_stage_doclen_$batchId"
+              spark.read.parquet(s"$pstaging/bucket=$tb")
+                .select($"docId", $"tf".as("len"))
+                .repartition(1)
+                .write.mode("overwrite").parquet(lstaging)
+              Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
+            }
           }
           val sfs = new org.apache.hadoop.fs.Path(pstaging)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -692,13 +899,17 @@ object IndexBuild {
           // publish only the real posting buckets
           if (!legacyLen) {
             val lstaging = s"$indexDir/_stage_doclen_$batchId"
+            // delta files must match the base doclen layout (raw
+            // sentinel layouts read (docId, tf) via readDoclen)
+            val rawBase =
+              !spark.read.parquet(s"$indexDir/doclen").columns.contains("len")
             spark.read.parquet(s"$staging/bucket=$tb")
               .select($"docBytes", $"tfBytes")
               .as[(Array[Byte], Array[Byte])]
               .flatMap { case (db, tfb) =>
                 VByte.decodeDeltas(db).iterator.zip(VByte.decode(tfb).iterator)
               }
-              .toDF("docId", "len")
+              .toDF("docId", if (rawBase) "tf" else "len")
               .repartition(1)
               .write.mode("overwrite").parquet(lstaging)
             Lineage.publishAppend(spark, lstaging, s"$indexDir/doclen", s"b$batchId")
@@ -907,7 +1118,7 @@ object IndexBuild {
     val lenDf = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/doclen")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(s"$indexDir/doclen")
+      if (fs.exists(p)) readDoclen(spark, indexDir)
       else spark.read.parquet(s"$indexDir/docs")
     }
     val row = lenDf.select($"len")
@@ -1042,7 +1253,10 @@ object IndexBuild {
         .as[(Int, Seq[String])]
         .flatMap { case (id, fs) => positionRowsOf(id, fs, stop, tok, tb) }
         .toDF(PositionsCols: _*)
-        .repartition(cfg.numPartitions, $"term")
+        // shard-salted: see the single-field positions stage (sentinel
+        // skew) — partitionBy(bucket) keeps on-disk placement identical
+        .repartition(cfg.numPartitions, $"term",
+          expr(s"docId div ${cfg.docsPerShard}"))
         .sortWithinPartitions($"term", $"docId")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/positions")
       Nil

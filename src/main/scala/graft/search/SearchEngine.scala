@@ -177,7 +177,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   lazy val doclen: DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/doclen")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) liveOnly(spark.read.parquet(s"$indexDir/doclen"))
+    if (fs.exists(p)) liveOnly(IndexBuild.readDoclen(spark, indexDir))
     else docsRaw.select($"docId", $"len")
   }
 

@@ -32,7 +32,7 @@ class ResumeSpec extends AnyFunSuite {
     // releases wrote; readers and append must keep supporting it)
     val f = fs(dir)
     val v7docs = spark.read.parquet(s"$dir/docs")
-      .join(spark.read.parquet(s"$dir/doclen"), Seq("docId"))
+      .join(IndexBuild.readDoclen(spark, dir), Seq("docId"))
     val tmp = s"$dir/_v7docs"
     v7docs.write.mode("overwrite").parquet(tmp)
     f.delete(new Path(s"$dir/docs"), true)
