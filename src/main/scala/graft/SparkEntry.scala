@@ -73,6 +73,18 @@ object SparkEntry {
     idxDir
   }
 
+  /** The q_hybrid_vec external query vector: 64 dims of exactly-
+    * representable eighths, so the Spark FLOAT literal and the DuckDB
+    * DOUBLE literal below are the same real number bit-for-bit (the
+    * fixed-point dot contract then makes scores engine-identical). */
+  private val ExtQueryVec: Array[Float] =
+    Array.tabulate(64)(d => (((d * 37 + 11) % 17) - 8) / 8.0f)
+
+  /** [[ExtQueryVec]] as DuckDB VALUES rows `(i, qx)`. */
+  private def extQueryVecSql: String =
+    ExtQueryVec.zipWithIndex
+      .map { case (v, i) => s"($i, ${v.toDouble})" }.mkString(", ")
+
   /** The LSH hyperplane family as DuckDB VALUES rows `(p, i, w)` —
     * the q_knn_lsh oracle recomputes bucket assignment from the same
     * constants the index build used (Similarity.planeWeight). */
@@ -236,8 +248,45 @@ object SparkEntry {
     // mirrors the Hamming<=2 probe set, and re-ranks exactly
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.lshIndexTopK(s, lshIndexDir(s, dir), 0L, 10)),
+    // similar-documents facade (reference GET /indexes/{uid}/similar,
+    // similar.rs): cosine neighbours of doc 3, excluding itself,
+    // restricted to the filter universe (the target itself is zh — the
+    // reference does not require the target to match the filter)
+    "q_similar" -> ((s, dir) => {
+      val idx = new graft.api.Index(DocIndex.engine(s, dir))
+      idx.similar(embDf(s, dir), "vec_id", "embedding", id = 3L,
+          limit = 10, filter = Some("lang = 'en'"),
+          semanticIndexDir = Some(lshIndexDir(s, dir)))
+        .select(col("docId").cast("long").as("doc_id"), col("score"))
+    }),
     // ---- Meilisearch rule cascade (R1-R6 + mixed-radix score) ----------
     "q_meili_rank" -> ((s, dir) => meiliQuery(s, dir, "spark merge batch")),
+    // showRankingScoreDetails (score_details.rs:145-302): details_score
+    // is recomputed FROM THE DETAILS COLUMN ALONE (mixed-radix over the
+    // per-rule rank/maxRank fields) — the oracle's independently
+    // reconstructed ranking_score must match it exactly
+    "q_score_details" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+      val d = col("_rankingScoreDetails")
+      def f(rule: String, field: String) =
+        d.getField(rule).getField(field).cast("long")
+      val ranks = Seq(
+        (f("words", "matchingWords"), f("words", "maxMatchingWords")),
+        (f("typo", "maxTypoCount") + 1 - f("typo", "typoCount"),
+          f("typo", "maxTypoCount") + 1),
+        (f("proximity", "rank"), f("proximity", "maxRank")),
+        (f("attribute", "fidRank"), f("attribute", "fidMaxRank")),
+        (f("attribute", "posRank"), f("attribute", "posMaxRank")),
+        (f("exactness", "exactAttrRank"), f("exactness", "exactAttrMaxRank")),
+        (f("exactness", "matchedWords") + 1,
+          f("exactness", "maxMatchedWords") + 1))
+      val (r, m) = ranks.foldLeft((lit(1L): org.apache.spark.sql.Column,
+          lit(1L): org.apache.spark.sql.Column)) {
+        case ((ar, am), (rk, mx)) => ((ar - 1L) * mx + rk, am * mx)
+      }
+      meiliCols(mr.search("spark merge", 50, withScoreDetails = true),
+        (r.cast("double") / m.cast("double")).as("details_score"))
+    }),
     "q_meili_typo" -> ((s, dir) => meiliQuery(s, dir, "spork merge")),
     // 2-gram merge: neither 'win' nor 'dow' is a vocab term; the merged
     // compound 'window' matches both slots at ngram cost 1
@@ -292,6 +341,19 @@ object SparkEntry {
       // production callers take the default pool = k (Hybrid.search)
       graft.search.Hybrid.search(mr, embDf(s, dir), "vec_id", "embedding",
         "spark merge", queryVecId = 0L, ratio = 0.5, k = 20,
+        candidatePool = 1000000,
+        semanticIndexDir = Some(lshIndexDir(s, dir)))
+        .select(col("docId").cast("long").as("doc_id"),
+          col("hybridScore").as("hybrid_score"),
+          col("kwScore").as("kw_score"), col("semScore").as("sem_score"))
+    }),
+    // hybrid with an EXTERNAL query vector (reference SearchQuery.vector
+    // mod.rs:64-67): the semantic arm scores against a literal vector
+    // that is NOT a corpus row — no query-row lookup anywhere
+    "q_hybrid_vec" -> ((s, dir) => {
+      val mr = new graft.rank.MeiliRank(DocIndex.engine(s, dir))
+      graft.search.Hybrid.searchVec(mr, embDf(s, dir), "vec_id", "embedding",
+        "spark merge", ExtQueryVec, ratio = 0.5, k = 20,
         candidatePool = 1000000,
         semanticIndexDir = Some(lshIndexDir(s, dir)))
         .select(col("docId").cast("long").as("doc_id"),
@@ -1067,7 +1129,41 @@ object SparkEntry {
          | round(coalesce(s.sem0, 0), 6) AS sem_score
          |FROM meili m FULL OUTER JOIN sem s ON m.doc_id = s.doc_id
          |ORDER BY hybrid_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_hybrid_vec" ->
+      s"""${meiliCtes(Seq("spark", "merge"))},
+         |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+         |qv AS (SELECT i, qx FROM (VALUES $extQueryVecSql) AS t(i, qx)),
+         |qn AS (SELECT sum(CAST(floor(qx * qx * 1e9 + 0.5) AS BIGINT)) AS qnorm FROM qv),
+         |dots AS (SELECT e.vec_id,
+         |  sum(CAST(floor(CAST(e.x AS DOUBLE) * qv.qx * 1e9 + 0.5) AS BIGINT)) AS dot,
+         |  sum(CAST(floor(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS nn
+         | FROM ex e JOIN qv ON e.i = qv.i GROUP BY e.vec_id),
+         |sem AS (SELECT d.vec_id AS doc_id,
+         |  round(d.dot / sqrt(CAST(d.nn AS DOUBLE) * CAST(qn.qnorm AS DOUBLE)), 6) AS sem0
+         | FROM dots d CROSS JOIN qn)
+         |SELECT COALESCE(m.doc_id, s.doc_id) AS doc_id,
+         | round(greatest(coalesce(m.ranking_score * 0.5, 0), coalesce(s.sem0 * 0.5, 0)), 6) AS hybrid_score,
+         | round(coalesce(m.ranking_score, 0), 6) AS kw_score,
+         | round(coalesce(s.sem0, 0), 6) AS sem_score
+         |FROM meili m FULL OUTER JOIN sem s ON m.doc_id = s.doc_id
+         |ORDER BY hybrid_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_similar" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings),
+        |qv AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM ex WHERE vec_id = 3),
+        |dots AS (SELECT e.vec_id,
+        |  sum(CAST(floor(CAST(e.x AS DOUBLE) * qv.qx * 1e9 + 0.5) AS BIGINT)) AS dot,
+        |  sum(CAST(floor(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS nn
+        | FROM ex e JOIN qv ON e.i = qv.i GROUP BY e.vec_id),
+        |qn AS (SELECT nn AS qnorm FROM dots WHERE vec_id = 3)
+        |SELECT d.vec_id AS doc_id,
+        | round(d.dot / sqrt(CAST(d.nn AS DOUBLE) * CAST(qn.qnorm AS DOUBLE)), 6) AS score
+        |FROM dots d CROSS JOIN qn
+        |JOIN documents doc ON doc.doc_id = d.vec_id AND doc.lang = 'en'
+        |WHERE d.vec_id <> 3
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_meili_rank" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50),
+    "q_score_details" -> meiliOracleSql(Seq("spark", "merge"), 50,
+      extraCols = ", m.ranking_score AS details_score"),
     "q_meili_typo" -> meiliOracleSql(Seq("spork", "merge"), 50),
     "q_meili_ngram" -> meiliOracleSql(Seq("win", "dow"), 50),
     "q_tms_all" -> meiliOracleSql(Seq("spark", "merge", "batch"), 50, strategy = "all"),

@@ -29,6 +29,10 @@ final case class SearchRequest(
     cropMarker: String = "…",
     preTag: String = "<em>", postTag: String = "</em>",
     showMatchesPosition: Boolean = false,
+    // reference showRankingScoreDetails (SearchQuery mod.rs:94,
+    // score_details.rs:145-302): per-rule rank/score breakdown as a
+    // `_rankingScoreDetails` JSON column
+    showRankingScoreDetails: Boolean = false,
     attributesToRetrieve: Option[Seq[String]] = None,
     // reference attributesToHighlight / attributesToCrop (`*` = all
     // stored fields; crop entries may carry a per-field length,
@@ -119,7 +123,13 @@ final class Index(val engine: SearchEngine,
           scoreThreshold = r.rankingScoreThreshold,
           searchOnFids = fids,
           rankingRules = rules,
-          locales = r.locales)
+          locales = r.locales,
+          withScoreDetails = r.showRankingScoreDetails)
+          // serialize at the API edge, like the reference's JSON response
+          .transform(df =>
+            if (!r.showRankingScoreDetails) df
+            else df.withColumn("_rankingScoreDetails",
+              to_json(col("_rankingScoreDetails"))))
       }
     val sliced =
       if (r.offset == 0) ranked
@@ -415,5 +425,64 @@ final class Index(val engine: SearchEngine,
         sortFacetValuesBy.getOrElse("*", "alpha"))
       fc -> engine.facetCountsOver(universe, fc, maxValues, order)
     }.toMap
+  }
+
+  /** Similar-documents facade (reference `GET /indexes/{uid}/similar`,
+    * milli/src/search/similar.rs:1-132 + routes/indexes/similar.rs):
+    * top-`limit` documents by embedding cosine against document `id`'s
+    * embedding, EXCLUDING the target itself (similar.rs:73), restricted
+    * to the `filter` universe (similar.rs:52-66 — the target need not
+    * match the filter), offset-sliced, optional score threshold
+    * (similar.rs:97-106).
+    *
+    * `emb` rows must be keyed by the same ids as the doc store (the
+    * Hybrid contract). Cost routing mirrors [[graft.search.Hybrid]]:
+    * below the exact cap the brute-force cosine runs over the
+    * (filtered) table; above it the persisted LSH index is probed with
+    * the target's vector — the filter becomes a broadcast semi-join
+    * applied BEFORE the top-k, so a filtered request still fills k. */
+  def similar(emb: DataFrame, idCol: String, vecCol: String, id: Long,
+              limit: Int = 20, offset: Int = 0,
+              filter: Option[String] = None,
+              semanticIndexDir: Option[String] = None,
+              rankingScoreThreshold: Option[Double] = None,
+              semanticExactMaxRows: Long =
+                graft.search.Hybrid.SemanticExactMaxRows): DataFrame = {
+    import graft.ops.Similarity
+    // the target's vector (the one per-request id lookup; the reference
+    // fetches the target's embeddings the same way, similar.rs:67-90)
+    val qRow = emb.where(col(idCol) === id)
+      .select(col(vecCol).cast("array<float>")).collect()
+    require(qRow.nonEmpty, s"unknown document id $id in the embedding table")
+    val qvec = qRow(0).getSeq[Float](0).toArray
+    val universe = filter.map(f => engine.docs
+      .filter(graft.query.FilterParser.parse(f)).select(col("docId")))
+    val pool = offset + limit + 1 // +1: the target may occupy one slot
+    def estRows: BigInt =
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
+    val useLsh = semanticIndexDir.isDefined &&
+      (semanticExactMaxRows <= 0 || estRows > semanticExactMaxRows)
+    val ranked =
+      if (useLsh)
+        Similarity.lshIndexTopK(engine.spark, semanticIndexDir.get,
+            qvec, pool, 2, universe)
+          .select(col("vec_id").cast("int").as("docId"), col("score"))
+      else {
+        val filtered = universe.fold(emb)(u =>
+          emb.join(broadcast(u), emb(idCol) === u("docId"), "left_semi"))
+        Similarity.cosineTopK(filtered, idCol, vecCol, qvec, pool)
+          .select(col(idCol).cast("int").as("docId"), col("score"))
+      }
+    val scored = ranked.where(col("docId") =!= id)
+      .transform(df => rankingScoreThreshold.fold(df)(t =>
+        df.where(col("score") >= t)))
+      .orderBy(col("score").desc, col("docId").asc)
+    if (offset == 0) scored.limit(limit)
+    else {
+      // page-sized slice, like search(): never a global-sort skip
+      val rows = scored.limit(offset + limit).collect().drop(offset).toSeq
+      engine.spark.createDataFrame(
+        engine.spark.sparkContext.parallelize(rows, 1), scored.schema)
+    }
   }
 }

@@ -43,6 +43,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[cosineTopK]] for an EXTERNAL query vector (reference
+    * SearchQuery.vector, meilisearch/src/search/mod.rs:64-67: hybrid /
+    * semantic callers supply a fresh query embedding that is not a
+    * corpus row). The vector becomes a literal array column — no query-
+    * row lookup scan at all. Same fixed-point contract, same scores. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Array[Float], k: Int): DataFrame = {
+    val qn = normFxLocal(queryVec)
+    emb.withColumn("qvec", array(queryVec.map(v => lit(v)): _*))
+      .withColumn("dot", dotFx(vecCol, "qvec"))
+      .withColumn("nn", normFx(vecCol))
+      .withColumn("score",
+        round(col("dot") / sqrt(col("nn").cast("double") * lit(qn.toDouble)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side fixed-point dot / norm — the same
+    * floor(x·y·1e9 + 0.5)-per-element, BIGINT-sum contract as the
+    * Column forms, so a driver-computed bucket or norm is bit-identical
+    * to an executor- or DuckDB-computed one. */
+  private def dotFxLocal(v: Array[Float], w: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < v.length) {
+      s += math.floor(v(i).toDouble * w(i) * 1e9 + 0.5).toLong; i += 1
+    }
+    s
+  }
+
+  private def normFxLocal(v: Array[Float]): Long = {
+    var s = 0L; var i = 0
+    while (i < v.length) {
+      s += math.floor(v(i).toDouble * v(i).toDouble * 1e9 + 0.5).toLong; i += 1
+    }
+    s
+  }
+
+  /** LSH bucket of a concrete vector under the index's plane family —
+    * pure driver-side arithmetic over the plane literals; no data scan
+    * (the planes are algorithm parameters, not data). */
+  def bucketOfVector(v: Array[Float], nPlanes: Int, seed: Long): Long = {
+    var b = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val pl = Array.tabulate(v.length)(d => planeWeight(seed, p, d))
+      if (dotFxLocal(v, pl) >= 0L) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+
   /** Plane weight (p, d) of the deterministic pseudo-random hyperplane
     * family (splitmix64-seeded, in [-1, 1]) — exposed so the DuckDB
     * oracle can inline the SAME constants as SQL literals (the planes
@@ -245,18 +297,51 @@ object Similarity {
     * 137/65536 buckets). */
   def lshIndexTopK(spark: SparkSession, dir: String, queryId: Long,
                    k: Int, probeHamming: Int = 2): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    val nPlanes = meta.getInt(0)
+    // the query-ROW fetch scans rows/ for one id (no pruning on id) —
+    // fine for corpus-id lookups in tests/tools, but production hybrid
+    // queries should pass the query VECTOR (the Array[Float] overload):
+    // its bucket comes from the plane literals, zero scan
     val rows = spark.read.parquet(s"$dir/rows")
     // partition discovery re-infers the bucket column as INT: cast back
     val q = rows.where(col("id") === queryId)
       .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
-    val qBucket = q.getLong(0)
+    val nPlanes = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    lshProbedTopK(spark, dir, nPlanes, q.getLong(0),
+      q.getSeq[Float](1).toArray, q.getLong(2), k, probeHamming, None)
+  }
+
+  /** [[lshIndexTopK]] for an EXTERNAL query vector (reference
+    * SearchQuery.vector): the query bucket is computed driver-side from
+    * the plane literals and the meta row, so the plan reads ONLY the
+    * probed bucket partitions — no full-index scan to locate a query
+    * row. `universe` (optional docid set, e.g. a filter's matches)
+    * restricts candidates BEFORE the top-k so a filtered request still
+    * fills k. No default args (the corpus-id overload carries them). */
+  def lshIndexTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
+                   k: Int, probeHamming: Int,
+                   universe: Option[DataFrame]): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (nPlanes, dim, seed) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    require(queryVec.length == dim,
+      s"query vector dim ${queryVec.length} != index dim $dim")
+    lshProbedTopK(spark, dir, nPlanes, bucketOfVector(queryVec, nPlanes, seed),
+      queryVec, normFxLocal(queryVec), k, probeHamming, universe)
+  }
+
+  /** Shared probe + exact re-rank: read the bucket partitions within
+    * Hamming distance of `qBucket` (partition pruning — the only rows/
+    * IO), optionally intersect with `universe`, exact fixed-point
+    * cosine, top-k. */
+  private def lshProbedTopK(spark: SparkSession, dir: String, nPlanes: Int,
+                            qBucket: Long, qvec: Array[Float], qn: Long,
+                            k: Int, probeHamming: Int,
+                            universe: Option[DataFrame]): DataFrame = {
     val probes = (0L until (1L << nPlanes))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
-    val qvec = q.getSeq[Float](1)
-    val qn = q.getLong(2)
-    rows.where(col("bucket").isin(probes: _*))
+    val probed = spark.read.parquet(s"$dir/rows")
+      .where(col("bucket").isin(probes: _*))
+    universe.fold(probed)(u =>
+        probed.join(broadcast(u), probed("id") === u(u.columns.head), "left_semi"))
       .withColumn("qvec", array(qvec.map(v => lit(v)): _*))
       .withColumn("dot", dotFx("vec", "qvec"))
       .withColumn("score",

@@ -435,7 +435,8 @@ final class MeiliRank(engine: SearchEngine,
              scoreThreshold: Option[Double] = None,
              searchOnFids: Option[Set[Int]] = None,
              rankingRules: Seq[String] = MeiliRank.DefaultRules,
-             locales: Seq[String] = Nil): DataFrame = {
+             locales: Seq[String] = Nil,
+             withScoreDetails: Boolean = false): DataFrame = {
     val (filtered, sortCols, n) = scoredUniverse(q, filterExpr, sortBy,
       lastIsPrefix, strategy, scoreThreshold, searchOnFids, rankingRules,
       locales)
@@ -450,10 +451,11 @@ final class MeiliRank(engine: SearchEngine,
         withMeta.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
       case None => withMeta
     }
-    ordered.orderBy(sortCols: _*).limit(k)
-      .select($"docId", $"wordsRank", $"typoCost", $"proxCost", $"fidCost",
-        $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
-        $"repo", $"path", $"lang")
+    val cols = Seq($"docId", $"wordsRank", $"typoCost", $"proxCost",
+      $"fidCost", $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
+      $"repo", $"path", $"lang") ++
+      (if (withScoreDetails) Seq($"_rankingScoreDetails") else Nil)
+    ordered.orderBy(sortCols: _*).limit(k).select(cols: _*)
   }
 
   /** The scored + filtered candidate universe with every rank column
@@ -598,8 +600,61 @@ final class MeiliRank(engine: SearchEngine,
       case ((accR, accM), (r, m)) =>
         ((accR - 1L) * m + r.cast("long"), accM * m)
     }
+
+    // ---- per-rule score details (reference showRankingScoreDetails,
+    // score_details.rs:145-302): one struct per radix-contributing rule
+    // in configured order, carrying the reference's public fields PLUS
+    // the (rank, maxRank) pairs of every sub-rule — a superset, so the
+    // global mixed-radix score is recomputable from the details alone
+    // (the reference's proximity/attribute details expose only the
+    // local score; rank/maxRank are the same numbers un-divided).
+    // Sort/custom rules order results but carry no digits, exactly like
+    // ScoreDetails::Sort passing through un-merged.
+    val detailStructs: Seq[Column] = {
+      var order = -1
+      rankingRules.zip(parts.map(_._2)).flatMap { case (name, rs) =>
+        if (rs.isEmpty) None
+        else {
+          order += 1
+          val o = lit(order).as("order")
+          Some(name match {
+            case "words" => struct(o,
+              $"wordsRank".as("matchingWords"),
+              lit(n).as("maxMatchingWords"),
+              ($"wordsRank" / lit(n.toDouble)).as("score")).as("words")
+            case "typo" => struct(o,
+              $"typoCost".as("typoCount"),
+              lit(maxTypo).as("maxTypoCount"),
+              ((lit(maxTypo + 1) - $"typoCost") / lit((maxTypo + 1).toDouble))
+                .as("score")).as("typo")
+            case "proximity" => struct(o,
+              (lit(maxProx + 1) - $"proxCost").as("rank"),
+              lit(maxProx + 1).as("maxRank"),
+              ((lit(maxProx + 1) - $"proxCost") / lit((maxProx + 1).toDouble))
+                .as("score")).as("proximity")
+            case "attribute" =>
+              val fidRank = lit(maxFid + 1) - least($"fidCost", lit(maxFid))
+              val posRank = lit(maxPos + 1) - least($"posCost", lit(maxPos))
+              struct(o,
+                fidRank.as("fidRank"), lit(maxFid + 1).as("fidMaxRank"),
+                posRank.as("posRank"), lit(maxPos + 1).as("posMaxRank"),
+                (((fidRank - 1) * (maxPos + 1) + posRank) /
+                  lit(((maxFid + 1).toLong * (maxPos + 1)).toDouble))
+                  .as("score")).as("attribute")
+            case "exactness" => struct(o,
+              $"exactAttr".as("exactAttrRank"), lit(3).as("exactAttrMaxRank"),
+              $"exactWords".as("matchedWords"), lit(n).as("maxMatchedWords"),
+              ((($"exactAttr" - 1) * (n + 1) + $"exactWords" + 1) /
+                lit((3L * (n + 1)).toDouble)).as("score")).as("exactness")
+            case other => throw new IllegalStateException(
+              s"rule '$other' contributes radix digits but has no detail shape")
+          })
+        }
+      }
+    }
     val scored0 = phraseStart
       .withColumn("rankingScore", mergedRank.cast("double") / lit(mergedMax.toDouble))
+      .withColumn("_rankingScoreDetails", struct(detailStructs: _*))
     // rankingScoreThreshold (reference bucket_sort.rs:242-258)
     val scored = scoreThreshold.fold(scored0)(t =>
       scored0.filter($"rankingScore" >= t))

@@ -111,4 +111,51 @@ object Hybrid {
       pool, semanticIndexDir, semanticExactMaxRows)
     merge(kw, sem, ratio, k)
   }
+
+  /** [[semanticTopK]] for an EXTERNAL query vector (reference
+    * SearchQuery.vector + HybridQuery, meilisearch/src/search/mod
+    * .rs:64-67: real hybrid callers supply a fresh query embedding that
+    * is NOT a corpus row). Same cost routing; the LSH arm computes the
+    * probe set from the plane literals driver-side, so neither arm ever
+    * scans the index for a query row. */
+  def semanticTopKVec(emb: DataFrame, idCol: String, vecCol: String,
+                      queryVec: Array[Float], pool: Int,
+                      indexDir: Option[String] = None,
+                      exactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
+    def estRows: BigInt =
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
+    val useLsh = indexDir.isDefined &&
+      (exactMaxRows <= 0 || estRows > exactMaxRows)
+    if (useLsh)
+      graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get,
+          queryVec, pool, 2, None)
+        .select(col("vec_id").cast("int").as("docId"), col("score"))
+    else {
+      if (indexDir.isEmpty && exactMaxRows > 0 &&
+          exactMaxRows < Int.MaxValue &&
+          emb.queryExecution.optimizedPlan.stats.sizeInBytes >
+            BigInt(exactMaxRows) * 512)
+        require(emb.limit(exactMaxRows.toInt + 1).count() <= exactMaxRows,
+          s"embedding table exceeds $exactMaxRows rows and no LSH " +
+            "index was given: build one with Similarity.buildLshIndex")
+      graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVec, pool)
+        .select(col(idCol).cast("int").as("docId"), col("score"))
+    }
+  }
+
+  /** [[search]] with an external query vector: the production hybrid
+    * entry point — the keyword arm ranks `q`, the semantic arm scores
+    * against `queryVec` via [[semanticTopKVec]]. */
+  def searchVec(mr: graft.rank.MeiliRank, emb: DataFrame, idCol: String,
+                vecCol: String, q: String, queryVec: Array[Float],
+                ratio: Double, k: Int, candidatePool: Int = 0,
+                semanticIndexDir: Option[String] = None,
+                semanticExactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
+    val pool = if (candidatePool > 0) candidatePool else k
+    val kw = mr.search(q, pool)
+      .select(col("docId"), col("rankingScore"))
+    val sem = semanticTopKVec(emb, idCol, vecCol, queryVec,
+      pool, semanticIndexDir, semanticExactMaxRows)
+    merge(kw, sem, ratio, k)
+  }
 }
