@@ -245,4 +245,60 @@ class IndexApiSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fd == Map("en" -> 4, "fr" -> 1), s"$fd")
   }
+
+  test("similar-documents facade: excludes target, filter universe, offset slice, threshold") {
+    val vecs: Map[Long, Array[Float]] = (0L to 4L).map(i =>
+      i -> Array.tabulate(6)(d => (((i * 13 + d * 5) % 9) - 4).toFloat / 4f)).toMap
+    val e = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    // independent fixed-point recompute (the file-wide contract)
+    def fx(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => fx(x.toDouble * y.toDouble) }.sum
+      val na = a.map(x => fx(x.toDouble * x.toDouble)).sum
+      val nb = b.map(x => fx(x.toDouble * x.toDouble)).sum
+      BigDecimal(dot / math.sqrt(na.toDouble * nb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = (0L to 4L).filter(_ != 0L)
+      .map(i => (i, cos(vecs(0L), vecs(i))))
+      .sortBy { case (id, s) => (-s, id) }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getInt(0).toLong).toSeq
+
+    val got = idx.similar(e, "vec_id", "embedding", 0L, limit = 3)
+    assert(ids(got) == all.take(3).map(_._1), s"${ids(got)} vs $all")
+    assert(!ids(got).contains(0L))
+    // filter: doc 2 is fr -> excluded from the universe, NOT from k
+    val gotEn = idx.similar(e, "vec_id", "embedding", 0L, limit = 3,
+      filter = Some("lang = en"))
+    val wantEn = all.filter(_._1 != 2L).take(3).map(_._1)
+    assert(ids(gotEn) == wantEn, s"${ids(gotEn)} vs $wantEn")
+    // offset: page 2 continues the same ordering
+    val page2 = idx.similar(e, "vec_id", "embedding", 0L, limit = 2, offset = 2)
+    assert(ids(page2) == all.map(_._1).slice(2, 4), s"${ids(page2)}")
+    // threshold keeps only scores >= t
+    val t = all(1)._2
+    val gotT = idx.similar(e, "vec_id", "embedding", 0L, limit = 5,
+      rankingScoreThreshold = Some(t))
+    assert(ids(gotT) == all.takeWhile(_._2 >= t).map(_._1), s"${ids(gotT)}")
+    // unknown target fails fast
+    intercept[IllegalArgumentException](
+      idx.similar(e, "vec_id", "embedding", 99L))
+  }
+
+  test("showRankingScoreDetails emits a _rankingScoreDetails JSON column") {
+    val rows = idx.search(SearchRequest(q = "spark merge",
+      showRankingScoreDetails = true)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getString(r.fieldIndex("_rankingScoreDetails"))
+      assert(js.contains("\"words\"") && js.contains("\"typo\"") &&
+        js.contains("\"order\""), js)
+    }
+    // attributesToRetrieve keeps the _-prefixed detail column
+    val proj = idx.search(SearchRequest(q = "spark merge",
+      showRankingScoreDetails = true,
+      attributesToRetrieve = Some(Seq("lang")))).columns.toSet
+    assert(proj.contains("_rankingScoreDetails"), s"$proj")
+  }
 }

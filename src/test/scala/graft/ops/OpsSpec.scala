@@ -127,6 +127,44 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("external query vector: bucket from plane literals, same results as id lookup, no rows scan for the query row") {
+    val dir = java.nio.file.Files.createTempDirectory("lshvec").toString
+    Similarity.buildLshIndex(spark, emb, "vec_id", "embedding", dir, nPlanes = 4)
+    // every persisted bucket matches the driver-side recompute from the
+    // plane literals — the contract the external-vector path rests on
+    val rows = spark.read.parquet(s"$dir/rows")
+      .select(col("id"), col("vec").cast("array<float>"), col("bucket").cast("long"))
+      .collect()
+    rows.foreach { r =>
+      val got = Similarity.bucketOfVector(
+        r.getSeq[Float](1).toArray, nPlanes = 4, seed = 42L)
+      assert(got == r.getLong(2), s"id ${r.getLong(0)}")
+    }
+    // an external vector equal to row 0's embedding returns exactly the
+    // id-based result
+    val q0 = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0).toArray
+    val byId = Similarity.lshIndexTopK(spark, dir, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val byVec = Similarity.lshIndexTopK(spark, dir, q0, 10, 2, None)
+      .as[(Long, Double)].collect().toSeq
+    assert(byId == byVec)
+    // plan: bucket partitions pruned AND exactly ONE scan of rows/ (the
+    // id overload needs a second, unpruned scan just to fetch the
+    // query row — the external-vector path must not)
+    val plan = Similarity.lshIndexTopK(spark, dir, q0, 10, 2, None)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    val rowScans = plan.split("\n").count(l => l.contains("/rows") && l.contains("FileScan"))
+    assert(rowScans <= 1, s"external-vector query must scan rows/ once:\n$plan")
+    // the exact brute-force external-vector arm agrees too
+    val exactVec = Similarity.cosineTopK(emb, "vec_id", "embedding", q0, 10)
+      .as[(Long, Double)].collect().toSeq
+    val exactId = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(exactVec == exactId)
+  }
+
   test("simhash64: exact per-bit recompute; planted near-dups at small Hamming, unrelated far") {
     val base = (1 to 120).map(i => s"alpha$i beta$i").mkString(" ")
     val near = base.replace("alpha5 ", "alpha5x ").replace("beta17 ", "beta17x ")

@@ -94,6 +94,56 @@ class MeiliRankSpec extends AnyFunSuite {
     assert(tuples.distinct.size == scores.distinct.size)
   }
 
+  test("score details: mixed-radix merge of the details alone equals rankingScore exactly") {
+    // default rule order AND a reconfigured order (rules re-ordered and
+    // one dropped): the details must follow the configured radix order
+    Seq(MeiliRank.DefaultRules,
+        Seq("typo", "words", "exactness", "proximity", "attribute")).foreach { rules =>
+      val got = mr.search("the quick brown fox", 20,
+        rankingRules = rules, withScoreDetails = true).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val d = r.getStruct(r.fieldIndex("_rankingScoreDetails"))
+        def sub(rule: String) = d.getStruct(d.fieldIndex(rule))
+        def f(rule: String, field: String): Long = {
+          val s = sub(rule)
+          s.get(s.fieldIndex(field)) match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case o => fail(s"$rule.$field unexpected type $o")
+          }
+        }
+        // (rank, maxRank) pairs in the rule order the details declare
+        val byOrder = rules.filter(Set("words", "typo", "proximity",
+            "attribute", "exactness")).sortBy(rule =>
+          sub(rule).getInt(sub(rule).fieldIndex("order")))
+        val pairs = byOrder.flatMap {
+          case "words" => Seq((f("words", "matchingWords"),
+            f("words", "maxMatchingWords")))
+          case "typo" => Seq((f("typo", "maxTypoCount") + 1 -
+            f("typo", "typoCount"), f("typo", "maxTypoCount") + 1))
+          case "proximity" => Seq((f("proximity", "rank"),
+            f("proximity", "maxRank")))
+          case "attribute" => Seq(
+            (f("attribute", "fidRank"), f("attribute", "fidMaxRank")),
+            (f("attribute", "posRank"), f("attribute", "posMaxRank")))
+          case "exactness" => Seq(
+            (f("exactness", "exactAttrRank"), f("exactness", "exactAttrMaxRank")),
+            (f("exactness", "matchedWords") + 1,
+              f("exactness", "maxMatchedWords") + 1))
+        }
+        val merged = MeiliRank.mergeRanks(pairs)
+        val score = r.getDouble(r.fieldIndex("rankingScore"))
+        assert(merged == score,
+          s"doc ${r.getInt(0)} rules=$rules: details-merge $merged != $score")
+        // per-rule local score field = rank/maxRank of that rule's merge
+        val w = sub("words")
+        assert(w.getDouble(w.fieldIndex("score")) ==
+          f("words", "matchingWords").toDouble / f("words", "maxMatchingWords"))
+      }
+    }
+  }
+
   test("prefix search: last word as prefix expands") {
     // with prefix expansion 'qui*' matches 'quick': doc 1 matches both
     // slots (wordsRank 2); without it 'qui' matches nothing (len 3, no

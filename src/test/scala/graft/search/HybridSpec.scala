@@ -52,6 +52,21 @@ class HybridSpec extends AnyFunSuite {
     assert(defaultPool.nonEmpty)
   }
 
+  test("external-vector hybrid equals id-based hybrid when the vector is a corpus row") {
+    val mr = new MeiliRank(engine)
+    val q3 = emb.where(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val byId = rows(Hybrid.search(mr, emb, "vec_id", "embedding",
+      "spark merge", queryVecId = 3L, ratio = 0.5, k = 10))
+    val byVec = rows(Hybrid.searchVec(mr, emb, "vec_id", "embedding",
+      "spark merge", q3, ratio = 0.5, k = 10))
+    assert(byId == byVec)
+    assert(byVec.nonEmpty)
+  }
+
   test("ratio extremes: pool = k stays exact for pure keyword and pure semantic") {
     val mr = new MeiliRank(engine)
     Seq(0.0, 1.0).foreach { ratio =>
