@@ -117,18 +117,13 @@ object Dump {
         }
         val seps = validated("separatorTokens")
         val locs = validated("localizedAttributes")
-        require(locs.forall(e => e.indexOf(':') > 0 &&
-          e.substring(0, e.indexOf(':')).forall(_.isDigit)),
-          "dump settings: localizedAttributes entries must be '<fid>:<locale>'")
         graft.functions.Tokenizer.TokSettings(
           seps.filter(_.length == 1).map(_.charAt(0)).toSet,
           validated("nonSeparatorTokens").map(_.charAt(0)).toSet,
           strSeq("tokenizerDictionary").toSet,
           separatorStrings = seps.filter(_.length > 1).toSet,
-          localesByFid = locs.map { e =>
-            val i = e.indexOf(':')
-            e.substring(0, i).toInt -> e.substring(i + 1)
-          }.toMap,
+          localesByFid = locs
+            .map(graft.functions.Tokenizer.TokSettings.parseFidLocale).toMap,
           cjkUnigrams = {
             val v = if (st.schema.fieldNames.contains("cjkUnigrams"))
               Option(st.getAs[String]("cjkUnigrams")).getOrElse("") else ""

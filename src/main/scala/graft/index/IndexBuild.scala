@@ -388,9 +388,16 @@ object IndexBuild {
             require(id <= Int.MaxValue,
               s"docId $id exceeds the per-index Int cap; shard into a new " +
                 "index and merge via search.Federation")
+            // metadata columns tolerate nulls (pass through like the
+            // typed path always did); content cannot — there is nothing
+            // to index or checksum — so fail with the contract, not an
+            // NPE inside Sha
+            def str(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+            require(!r.isNullAt(iContent),
+              "SourceFile.content must be non-null (row " + id + ")")
             val content = r.getString(iContent)
-            val row = org.apache.spark.sql.Row(id.toInt, r.getString(iRepo),
-              r.getString(iPath), r.getString(iCommit), r.getString(iLang),
+            val row = org.apache.spark.sql.Row(id.toInt, str(iRepo),
+              str(iPath), str(iCommit), str(iLang),
               content, Sha.hex(content))
             id += 1
             row

@@ -124,6 +124,14 @@ final class MeiliRank(engine: SearchEngine,
   private val spark = engine.spark
   import spark.implicits._
 
+  // exactFids routes every typo-derived term through the fid-restricted
+  // positions path (typoFids below) — on a positions-less index that
+  // would surface mid-query as an opaque AnalysisException on the
+  // missing positions/ directory. Fail fast with the actual contract.
+  require(typo.exactFids.isEmpty || engine.hasPositions,
+    "typo.exactFids / exactAttributes requires a positions-enabled index " +
+      "(IndexConfig.positions = true)")
+
   def analyze(q: String, lastIsPrefix: Boolean = false,
               locales: Seq[String] = Nil): Seq[Slot] =
     analyzeParsed(engine.parseQuery(q, locales), lastIsPrefix)

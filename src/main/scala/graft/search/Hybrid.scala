@@ -97,8 +97,14 @@ object Hybrid {
     * is dominated there by ≥k docs whose weighted (hence hybrid) score
     * is at least its own — so pool = k is exact, and a 1M-row
     * TakeOrdered heap per arm per query (the previous default) is pure
-    * waste at scale. Pass an explicit larger pool only to materialize a
-    * deeper merged ordering than the returned top-k. */
+    * waste at scale. One caveat at 1e-6 granularity: the keyword arm
+    * truncates on its exact cascade order, but hybridScore is rounded
+    * to 6 decimals — a doc at keyword rank k+1 whose score ROUNDS equal
+    * to the k-th's (and has a smaller docId) would win the post-round
+    * docId tie-break under an unbounded pool yet is excluded at
+    * pool = k; ordering may therefore differ on such rounding ties.
+    * Pass an explicit larger pool only to materialize a deeper merged
+    * ordering than the returned top-k. */
   def search(mr: graft.rank.MeiliRank, emb: DataFrame, idCol: String,
              vecCol: String, q: String, queryVecId: Long, ratio: Double,
              k: Int, candidatePool: Int = 0,

@@ -90,10 +90,8 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
         strs("nonSeparators").filter(_.nonEmpty).map(_.charAt(0)).toSet,
         strs("dictionary").toSet,
         separatorStrings = seps.filter(_.length > 1).toSet,
-        localesByFid = strs("locales").map { e =>
-          val i = e.indexOf(':')
-          e.substring(0, i).toInt -> e.substring(i + 1)
-        }.toMap,
+        localesByFid = strs("locales")
+          .map(Tokenizer.TokSettings.parseFidLocale).toMap,
         cjkUnigrams =
           if (!r.schema.fieldNames.contains("cjkUnigrams")) None
           else Option(r.getAs[String]("cjkUnigrams"))
@@ -170,6 +168,15 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * old layout that stored it physically) — the cheap view for paths
     * that don't need the BM25 norm. */
   lazy val docsRaw: DataFrame = liveOnly(spark.read.parquet(s"$indexDir/docs"))
+
+  /** True iff this index persisted a positions table (phrase /
+    * proximity / attribute rules and any fid-restricted read need it;
+    * callers that would otherwise fail mid-query with an opaque
+    * missing-path AnalysisException check this up front). */
+  lazy val hasPositions: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/positions")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Narrow (docId, len) table — the BM25-norm lookup side. Reads the
     * dedicated doclen/ parquet (written by the build's single tokenize
@@ -482,10 +489,22 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   /** (term=prefix, docId) rows of a PRECOMPUTED prefix — the union of
     * all member terms' docids, read as ordinary posting blocks (one
     * bounded pruned scan, regardless of how many terms share the
-    * prefix: the reference's word_prefix_docids read path). */
+    * prefix: the reference's word_prefix_docids read path). The slot
+    * carries the prefix_dict df (Σ member df — an upper bound on the
+    * merged doc count, since a doc holding several member terms counts
+    * once per term), so prefix-bearing queries cost-route through the
+    * same Σdf screen as plain terms instead of always looking cheap. */
   def prefixDocs(p: String): DataFrame =
-    decoded(Seq(QueryTerm(p, 0L, 0.0, IndexBuild.bucketOf(p, termBuckets))),
-      table = "prefixes").toDF().select($"term", $"docId")
+    decoded(Seq(prefixTerm(p)), table = "prefixes")
+      .toDF().select($"term", $"docId")
+
+  /** The routing QueryTerm of a precomputed prefix: df comes from
+    * prefix_dict, so downstream broadcast/WAND cost screens see the
+    * prefix's real weight (a df=0 slot always looked broadcast-cheap). */
+  def prefixTerm(p: String): QueryTerm = {
+    val df = prefixDict.flatMap(_.lookup(Seq(p)).get(p)).getOrElse(0L)
+    QueryTerm(p, df, BM25.idf(df, nDocs), IndexBuild.bucketOf(p, termBuckets))
+  }
 
   /** Exploded (docId, pos) rows of a precomputed prefix (merged member
     * positions; fid restriction as in [[positionRows]]). */

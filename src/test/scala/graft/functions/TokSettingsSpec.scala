@@ -242,4 +242,14 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(r.isNullAt(0), "null position must bucket to null")
     assert(r.getInt(1) == 40, "real positions keep their bucket")
   }
+
+  test("parseFidLocale validates the persisted '<fid>:<locale>' shape (shared by engine loader and dump import)") {
+    assert(Tokenizer.TokSettings.parseFidLocale("3:zh") == (3 -> "zh"))
+    assert(Tokenizer.TokSettings.parseFidLocale("10:en-US") == (10 -> "en-US"))
+    Seq("zh", ":zh", "x:zh", "3zh", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        Tokenizer.TokSettings.parseFidLocale(bad))
+      assert(e.getMessage.contains("localizedAttributes"), s"'$bad': $e")
+    }
+  }
 }

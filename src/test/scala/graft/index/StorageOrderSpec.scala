@@ -77,6 +77,29 @@ class StorageOrderSpec extends AnyFunSuite {
     assert(lin == 3, s"expected one docs lineage row per input file, got $lin")
   }
 
+  test("sorted-id build tolerates null metadata columns; null content fails with the contract") {
+    val dir = Files.createTempDirectory("nullMeta").toString
+    val rows = Seq(
+      SourceFile("r0", "p0.scala", null, null, "alpha beta"),
+      SourceFile(null, "p1.scala", "c1", "scala", "gamma delta"))
+    IndexBuild.build(spark, rows.toDS(), dir, cfg)
+    val docs = spark.read.parquet(s"$dir/docs").collect()
+    assert(docs.length == 2)
+    assert(docs.exists(r => r.isNullAt(r.fieldIndex("commit"))), "null commit passes through")
+    assert(docs.exists(r => r.isNullAt(r.fieldIndex("repo"))), "null repo passes through")
+    assert(docs.forall(!_.isNullAt(4 - 4)), "docIds assigned") // docId col 0
+    val e = new SearchEngine(spark, dir)
+    assert(e.searchDF("alpha", 5).count() == 1)
+    // null content: a clear contract error, not an NPE inside Sha
+    val bad = Seq(SourceFile("r", "p", "c", "l", null)).toDS()
+    val dir2 = Files.createTempDirectory("nullContent").toString
+    val ex = intercept[Throwable](IndexBuild.build(spark, bad, dir2, cfg))
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("content must be non-null"),
+      s"want the content contract in: $msgs")
+  }
+
   test("storage-order falls back to sorted ids for non-file corpora") {
     val dir = Files.createTempDirectory("soFall").toString
     IndexBuild.build(spark, corpus(12).toDS(), dir, cfg.copy(storageOrderIds = true))

@@ -144,6 +144,22 @@ class MeiliRankSpec extends AnyFunSuite {
     }
   }
 
+  test("exactFids on a positions-less index fails fast at construction") {
+    val dir = Files.createTempDirectory("nopos").toString
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2)) // positions = false
+    val e = new SearchEngine(spark, dir)
+    val ex = intercept[IllegalArgumentException](
+      new MeiliRank(e, typo = TypoSettings(exactFids = Set(0))))
+    assert(ex.getMessage.contains("positions-enabled"), ex.getMessage)
+    // the positions-enabled fixture accepts the same settings
+    new MeiliRank(engine, typo = TypoSettings(exactFids = Set(0))): Unit
+  }
+
   test("prefix search: last word as prefix expands") {
     // with prefix expansion 'qui*' matches 'quick': doc 1 matches both
     // slots (wordsRank 2); without it 'qui' matches nothing (len 3, no

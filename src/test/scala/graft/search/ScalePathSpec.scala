@@ -210,6 +210,14 @@ class ScalePathSpec extends AnyFunSuite {
       s"prefix blocks must bucket-prune:\n$plan")
     assert(plan.contains("PushedFilters") && plan.contains("term"),
       s"prefix pseudo-term predicate must push down:\n$plan")
+    // the prefix slot carries the prefix_dict df (Σ member df), not 0 —
+    // so prefix-bearing queries cost-route like ordinary terms
+    val qt = e.prefixTerm("re")
+    val dictDf = spark.read.parquet(s"$dictIdx/prefix_dict")
+      .filter($"term" === "re").select($"df").as[Long].head()
+    assert(qt.df == dictDf && qt.df >= 5, s"prefixTerm df=${qt.df} dict=$dictDf")
+    assert(qt.idf > 0.0 || qt.df * 2 >= e.nDocs,
+      s"idf must derive from the real df: $qt")
     // slot analysis: one pseudo-term, NOT a per-term derivation fan-out
     val mr = new graft.rank.MeiliRank(e)
     val slots = mr.analyze("return re", lastIsPrefix = true)
