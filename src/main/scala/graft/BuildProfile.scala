@@ -44,7 +44,9 @@ object BuildProfile {
       .select($"repo", $"path", $"commit", $"lang", $"content")
       .as[graft.corpus.SourceFile]
     def cfg(np: Int) = IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
-      blockSize = 128, numPartitions = np, storageOrderIds = storageOrder)
+      blockSize = 128, numPartitions = np, storageOrderIds = storageOrder,
+      // SPARK_GRAFT_CHUNKED=0: row-shuffle A/B arm
+      chunkedShuffle = !sys.env.get("SPARK_GRAFT_CHUNKED").contains("0"))
     // warmup build (JIT): small n, separate dir
     val wdir = { new java.io.File("/dev/shm/profidx").mkdirs(); "/dev/shm/profidx/warm" + System.nanoTime() }
     IndexBuild.build(spark, corpus.limit(5000).as[graft.corpus.SourceFile],

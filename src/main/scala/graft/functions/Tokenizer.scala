@@ -156,7 +156,23 @@ object Tokenizer extends Serializable {
     if (s.separatorTokens.contains(c)) false
     else isWordChar(c) || s.nonSeparatorTokens.contains(c)
 
-  /** Normalize one word: lowercase, NFKD, strip combining marks. */
+  /** Normalize one word: lowercase, NFKD, strip combining marks, then
+    * script-specific single-char folds (the charabia normalizer subset
+    * the reference applies, tokenize_document.rs:163-180 via the
+    * charabia crate's arabic/hebrew normalizers):
+    *
+    *  - Arabic: NFKD already folds the hamza-carrying letters (أ إ آ ؤ
+    *    ئ decompose to base letter + a combining hamza, stripped as a
+    *    NON_SPACING_MARK) and removes harakat; the folds below cover
+    *    the non-decomposing letters — alef wasla ٱ → ا, teh marbuta
+    *    ة → ه, alef maksura ى → ي — and strip tatweel (ـ, the
+    *    elongation filler).
+    *  - Hebrew: final-form letters fold to their base forms (ך ם ן ף ץ
+    *    → כ מ נ פ צ); niqqud are combining marks, already stripped.
+    *
+    * Unconditional (like lowercase/NFKD): both the index and the query
+    * pass through this one function, so both ends agree by
+    * construction and nothing needs persisting. */
   def normalize(s: String): String = {
     val lower = s.toLowerCase(java.util.Locale.ROOT)
     val nfkd = Normalizer.normalize(lower, Normalizer.Form.NFKD)
@@ -164,11 +180,30 @@ object Tokenizer extends Serializable {
     var i = 0
     while (i < nfkd.length) {
       val c = nfkd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      if (c == 'ـ') () // Arabic tatweel: pure elongation, dropped
+      else if (Character.getType(c) != Character.NON_SPACING_MARK)
+        sb.append(foldChar(c))
       i += 1
     }
     sb.toString
   }
+
+  /** Post-NFKD single-char folds (Arabic + Hebrew; identity fast path
+    * for everything below the Hebrew block — the entire hot path for
+    * code corpora). */
+  @inline private def foldChar(c: Char): Char =
+    if (c < '֐') c
+    else (c: @annotation.switch) match {
+      case 'ٱ' => 'ا' // ٱ alef wasla      -> ا alef
+      case 'ة' => 'ه' // ة teh marbuta     -> ه heh
+      case 'ى' => 'ي' // ى alef maksura    -> ي yeh
+      case 'ך' => 'כ' // ך final kaf       -> כ kaf
+      case 'ם' => 'מ' // ם final mem       -> מ mem
+      case 'ן' => 'נ' // ן final nun       -> נ nun
+      case 'ף' => 'פ' // ף final pe        -> פ pe
+      case 'ץ' => 'צ' // ץ final tsadi     -> צ tsadi
+      case other => other
+    }
 
   /** Han / Hiragana / Katakana codepoint — scripts written without word
     * separators. Fast path: every Han/kana codepoint is ≥ U+2E80 (CJK

@@ -243,6 +243,48 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 40, "real positions keep their bucket")
   }
 
+  test("arabic + hebrew normalization: hamza/alef folds, teh marbuta, tatweel, final forms, niqqud/harakat") {
+    // NFKD-driven folds: hamza-carrying letters decompose to base +
+    // combining hamza (stripped as a mark)
+    assert(Tokenizer.normalize("أحمد") == Tokenizer.normalize("احمد"))
+    assert(Tokenizer.normalize("إسلام") == Tokenizer.normalize("اسلام"))
+    assert(Tokenizer.normalize("آخر") == Tokenizer.normalize("اخر"))
+    assert(Tokenizer.normalize("مسؤول") == Tokenizer.normalize("مسوول"))
+    // explicit folds: alef wasla, teh marbuta, alef maksura, tatweel
+    assert(Tokenizer.normalize("ٱلله") == Tokenizer.normalize("الله"))
+    assert(Tokenizer.normalize("مكتبة") == Tokenizer.normalize("مكتبه"))
+    assert(Tokenizer.normalize("مستشفى") == Tokenizer.normalize("مستشفي"))
+    assert(Tokenizer.normalize("كتــــاب") == Tokenizer.normalize("كتاب"))
+    // harakat (fatha/damma/kasra/shadda/sukun) strip as combining marks
+    assert(Tokenizer.normalize("مُحَمَّد") == Tokenizer.normalize("محمد"))
+    // hebrew final forms fold to base; niqqud strip
+    assert(Tokenizer.normalize("שלום") == Tokenizer.normalize("שלומ"))
+    assert(Tokenizer.normalize("ארץ") == Tokenizer.normalize("ארצ"))
+    assert(Tokenizer.normalize("דרך") == Tokenizer.normalize("דרכ"))
+    assert(Tokenizer.normalize("שָׁלוֹם") == Tokenizer.normalize("שלומ"))
+    // identity for latin/code tokens (the hot path)
+    assert(Tokenizer.normalize("CamelCase42") == "camelcase42")
+  }
+
+  test("arabic/hebrew variants retrieve each other end-to-end (index one form, query the other)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arhe").toString
+    val df = Seq(
+      (0L, "ٱلمكتبة الكبيرة"), // alef wasla + teh marbuta forms
+      (1L, "שלום וברכה"),       // final mem
+      (2L, "unrelated latin text")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    graft.index.IndexBuild.buildFromTable(spark, df, "doc_id", "text",
+      "lang", "source", dir,
+      graft.index.IndexConfig(docsPerShard = 4, termBuckets = 2,
+        blockSize = 4, numPartitions = 2))
+    val e = new graft.search.SearchEngine(spark, dir)
+    // query with the OTHER orthographic variant
+    assert(e.searchDF("المكتبه", 5).collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(e.searchDF("שלומ", 5).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("parseFidLocale validates the persisted '<fid>:<locale>' shape (shared by engine loader and dump import)") {
     assert(Tokenizer.TokSettings.parseFidLocale("3:zh") == (3 -> "zh"))
     assert(Tokenizer.TokSettings.parseFidLocale("10:en-US") == (10 -> "en-US"))
