@@ -146,6 +146,16 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         normFx(vecCol).as("nn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/rows")
+    // byid/: (id, bucket) range-sorted by id — the corpus-id query path
+    // resolves id -> bucket through parquet row-group min/max pruning
+    // and then fetches the query row from ONE bucket partition, so
+    // neither lookup scans the index (a full rows/ scan per query was
+    // the one O(N) wart of the id path)
+    spark.read.parquet(s"$dir/rows").select(col("id"), col("bucket"))
+      .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$dir/byid")
     Seq((nPlanes, d, seed)).toDF("nPlanes", "dim", "seed")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -297,14 +307,24 @@ object Similarity {
     * 137/65536 buckets). */
   def lshIndexTopK(spark: SparkSession, dir: String, queryId: Long,
                    k: Int, probeHamming: Int = 2): DataFrame = {
-    // the query-ROW fetch scans rows/ for one id (no pruning on id) —
-    // fine for corpus-id lookups in tests/tools, but production hybrid
-    // queries should pass the query VECTOR (the Array[Float] overload):
-    // its bucket comes from the plane literals, zero scan
     val rows = spark.read.parquet(s"$dir/rows")
+    val byidP = new org.apache.hadoop.fs.Path(s"$dir/byid")
+    val hasByid =
+      byidP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(byidP)
     // partition discovery re-infers the bucket column as INT: cast back
-    val q = rows.where(col("id") === queryId)
-      .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
+    val q =
+      if (hasByid) {
+        // id -> bucket through the range-sorted byid table (row-group
+        // min/max pruning on id), then the query row from ONE pruned
+        // bucket partition — no full rows/ scan anywhere
+        val b = spark.read.parquet(s"$dir/byid")
+          .where(col("id") === queryId)
+          .select(col("bucket").cast("long")).collect()(0).getLong(0)
+        rows.where(col("bucket") === b && col("id") === queryId)
+          .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
+      } else // pre-byid index layout: the one remaining full-scan fetch
+        rows.where(col("id") === queryId)
+          .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
     val nPlanes = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
     lshProbedTopK(spark, dir, nPlanes, q.getLong(0),
       q.getSeq[Float](1).toArray, q.getLong(2), k, probeHamming, None)

@@ -163,6 +163,21 @@ class OpsSpec extends AnyFunSuite {
     val exactId = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
       .as[(Long, Double)].collect().toSeq
     assert(exactVec == exactId)
+    // byid side table: the id path resolves id -> bucket through it
+    // (range-sorted, row-group pruned) instead of scanning rows/;
+    // deleting it falls back to the legacy full-scan fetch with
+    // identical results (pre-byid index layouts keep working)
+    val byidP = new org.apache.hadoop.fs.Path(s"$dir/byid")
+    val fs = byidP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(byidP), "buildLshIndex must write byid/")
+    val perPart = spark.read.parquet(s"$dir/byid").select("id")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    perPart.foreach(p => assert(p == p.sorted, "byid must be id-sorted"))
+    fs.delete(byidP, true)
+    val legacy = Similarity.lshIndexTopK(spark, dir, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(legacy == byId)
   }
 
   test("simhash64: exact per-bit recompute; planted near-dups at small Hamming, unrelated far") {
