@@ -247,6 +247,175 @@ object IndexBuild {
       }
     }
 
+  /** [[chunkPartition]] for POSITION rows: packs this partition's
+    * (term, docId, positions, tf) stream into per-(term, shard) chunk
+    * rows (term, firstKey, docBytes, tfBytes, posBytes). The positions
+    * payload is one VByte stream per chunk — `[nPos, pos...]` per doc
+    * in docid order — so the exchange ships ~2-3 bytes per position
+    * instead of a boxed array element inside a ~64-byte row. Inverse:
+    * [[flattenPositionChunks]]; the written table is identical. */
+  def chunkPositionRows(rows: Iterator[(String, Int, Array[Int], Int)],
+                        docsPerShard: Int,
+                        flushEntries: Int = ChunkFlushEntries)
+      : Iterator[(String, Long, Array[Byte], Array[Byte], Array[Byte])] =
+    new Iterator[(String, Long, Array[Byte], Array[Byte], Array[Byte])] {
+      private final class Buf {
+        val keys = new ArrayBuffer[Long](4)
+        val pos = new ArrayBuffer[Array[Int]](4)
+      }
+      private val bufs = new scala.collection.mutable.AnyRefMap[String, Buf]
+      private var entries = 0
+      private var out: Iterator[(String, Long, Array[Byte], Array[Byte], Array[Byte])] =
+        Iterator.empty
+
+      private def chunkOf(term: String, b: Buf)
+          : (String, Long, Array[Byte], Array[Byte], Array[Byte]) = {
+        val n = b.keys.length
+        val order = (0 until n).sortBy(i => b.keys(i)).toArray
+        val docs = new Array[Int](n)
+        val tfs = new Array[Int](n)
+        var posInts = 0
+        var i = 0
+        while (i < n) {
+          val k = b.keys(order(i))
+          docs(i) = keyDoc(k); tfs(i) = keyTf(k)
+          posInts += b.pos(order(i)).length + 1
+          i += 1
+        }
+        val stream = new Array[Int](posInts)
+        var o = 0
+        i = 0
+        while (i < n) {
+          val ps = b.pos(order(i))
+          stream(o) = ps.length; o += 1
+          System.arraycopy(ps, 0, stream, o, ps.length); o += ps.length
+          i += 1
+        }
+        (term, b.keys(order(0)), VByte.encodeDeltas(docs), VByte.encode(tfs),
+          VByte.encode(stream))
+      }
+
+      private def fill(): Unit =
+        while (!out.hasNext && rows.hasNext) {
+          val ready =
+            ArrayBuffer.empty[(String, Long, Array[Byte], Array[Byte], Array[Byte])]
+          while (rows.hasNext && entries < flushEntries) {
+            val (t, d, ps, tf) = rows.next()
+            val b = bufs.getOrElseUpdate(t, new Buf)
+            if (b.keys.nonEmpty &&
+                keyDoc(b.keys(b.keys.length - 1)) / docsPerShard != d / docsPerShard) {
+              ready += chunkOf(t, b)
+              entries -= b.keys.length
+              b.keys.clear(); b.pos.clear()
+            }
+            b.keys += packKey(d, tf)
+            b.pos += ps
+            entries += 1
+          }
+          if (!rows.hasNext || entries >= flushEntries) {
+            bufs.foreach { case (t, b) => if (b.keys.nonEmpty) ready += chunkOf(t, b) }
+            bufs.clear()
+            entries = 0
+          }
+          out = ready.iterator
+        }
+
+      override def hasNext: Boolean = { fill(); out.hasNext }
+      override def next(): (String, Long, Array[Byte], Array[Byte], Array[Byte]) = {
+        fill(); out.next()
+      }
+    }
+
+  /** Reduce-side inverse of [[chunkPositionRows]]: sorted chunk rows →
+    * the sorted (term, docId, positions, tf, bucket) row stream the
+    * positions table stores (bucket re-derived from the term). Same
+    * overlap-merge contract as [[flattenChunks]]. */
+  def flattenPositionChunks(
+      rows: Iterator[(String, Long, Array[Byte], Array[Byte], Array[Byte])],
+      termBuckets: Int): Iterator[(String, Int, Array[Int], Int, Int)] =
+    new Iterator[(String, Int, Array[Int], Int, Int)] {
+      private val it = rows.buffered
+      private var term: String = null
+      private var bucket = 0
+      private var keys: Array[Long] = Array.emptyLongArray
+      private var poss: Array[Array[Int]] = Array.empty
+      private var pos = 0
+
+      private def decode(c: (String, Long, Array[Byte], Array[Byte], Array[Byte]))
+          : (Array[Long], Array[Array[Int]]) = {
+        val docs = VByte.decodeDeltas(c._3)
+        val tfs = VByte.decode(c._4)
+        val stream = VByte.decode(c._5)
+        val ks = new Array[Long](docs.length)
+        val ps = new Array[Array[Int]](docs.length)
+        var i = 0
+        var o = 0
+        while (i < docs.length) {
+          ks(i) = packKey(docs(i), tfs(i))
+          val n = stream(o); o += 1
+          ps(i) = java.util.Arrays.copyOfRange(stream, o, o + n); o += n
+          i += 1
+        }
+        (ks, ps)
+      }
+
+      private def refill(): Unit = {
+        val head = it.next()
+        term = head._1
+        bucket = bucketOfIndexed(term, termBuckets)
+        var (ks, ps) = decode(head)
+        while (it.hasNext && it.head._1 == term &&
+               keyDoc(it.head._2) <= keyDoc(ks(ks.length - 1))) {
+          val (nk, np) = decode(it.next())
+          val mk = ks ++ nk
+          val mp = ps ++ np
+          val order = mk.indices.sortBy(i => mk(i)).toArray
+          ks = order.map(i => mk(i))
+          ps = order.map(i => mp(i))
+        }
+        keys = ks; poss = ps; pos = 0
+      }
+
+      override def hasNext: Boolean = pos < keys.length || it.hasNext
+      override def next(): (String, Int, Array[Int], Int, Int) = {
+        if (pos >= keys.length) refill()
+        val k = keys(pos)
+        val p = poss(pos)
+        pos += 1
+        (term, keyDoc(k), p, keyTf(k), bucket)
+      }
+    }
+
+  /** The ONE positions-table write: shard-salted exchange (sentinel
+    * skew — see the positions stage note) + in-partition (term, docId)
+    * sort + partitionBy(bucket). With `cfg.chunkedShuffle` the exchange
+    * ships packed chunks ([[chunkPositionRows]]) and unpacks to the
+    * identical sorted rows before the write. */
+  def writePositions(ds: Dataset[(String, Int, Array[Int], Int, Int)],
+                     outDir: String, cfg: IndexConfig,
+                     numPartitions: Int): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val shardWidth = cfg.docsPerShard.toLong << 32
+    if (cfg.chunkedShuffle)
+      ds.map(r => (r._1, r._2, r._3, r._4))
+        .mapPartitions(rows => chunkPositionRows(rows, cfg.docsPerShard))
+        .toDF("term", "firstKey", "docBytes", "tfBytes", "posBytes")
+        .repartition(numPartitions, col("term"),
+          expr(s"firstKey div CAST($shardWidth AS BIGINT)"))
+        .sortWithinPartitions(col("term"), col("firstKey"))
+        .as[(String, Long, Array[Byte], Array[Byte], Array[Byte])]
+        .mapPartitions(rows => flattenPositionChunks(rows, cfg.termBuckets))
+        .toDF(PositionsCols: _*)
+        .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    else
+      ds.toDF(PositionsCols: _*)
+        .repartition(numPartitions, col("term"),
+          expr(s"docId div ${cfg.docsPerShard}"))
+        .sortWithinPartitions(col("term"), col("docId"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+
   /** Reduce-side inverse of [[chunkPartition]]: chunk rows sorted by
     * (term, firstKey) → the sorted (term, key) stream
     * [[encodePartition]] expects. Consecutive same-term chunks whose
@@ -511,14 +680,10 @@ object IndexBuild {
       // reducer — a single task sorting and writing a row per document,
       // a hard skew wall at the 10^12-doc design target.
       Lineage.stage(spark, indexDir, "positions") {
-        docsDf.select($"docId", $"content").as[(Int, String)]
-          .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) }
-          .toDF(PositionsCols: _*)
-          .repartition(cfg.numPartitions, $"term",
-            expr(s"docId div ${cfg.docsPerShard}"))
-          .sortWithinPartitions($"term", $"docId")
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/positions")
+        writePositions(
+          docsDf.select($"docId", $"content").as[(Int, String)]
+            .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) },
+          s"$indexDir/positions", cfg, cfg.numPartitions)
         Nil
       }
       doclenStage(spark, indexDir, cfg, fromPositions = true)
@@ -852,12 +1017,10 @@ object IndexBuild {
         val staging = s"$indexDir/_stage_postings_$batchId"
         if (cfg.positions) {
           val pstaging = s"$indexDir/_stage_positions_$batchId"
-          deltaDocs.select($"docId", $"content").as[(Int, String)]
-            .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) }
-            .toDF(PositionsCols: _*)
-            .repartition(math.max(1, cfg.numPartitions / 2), $"term")
-            .sortWithinPartitions($"term", $"docId")
-            .write.mode("overwrite").partitionBy("bucket").parquet(pstaging)
+          writePositions(
+            deltaDocs.select($"docId", $"content").as[(Int, String)]
+              .flatMap { case (id, c) => positionRowsOf(id, Seq(c), stop, tok, tb) },
+            pstaging, cfg, math.max(1, cfg.numPartitions / 2))
           // postings delta from the STAGED positions (narrow scan, no
           // second tokenize); the sentinel partition is not published
           spark.read.parquet(pstaging).filter($"bucket" =!= tb)
@@ -1254,18 +1417,13 @@ object IndexBuild {
     // (including stop words — the BM25 norm). Postings then derive from
     // a narrow (term, docId, tf) scan of the committed positions.
     Lineage.stage(spark, indexDir, "positions") {
-      docsDf
-        .select($"docId",
-          array(fieldCols.map(c => coalesce(col(c), lit(""))): _*).as("fs"))
-        .as[(Int, Seq[String])]
-        .flatMap { case (id, fs) => positionRowsOf(id, fs, stop, tok, tb) }
-        .toDF(PositionsCols: _*)
-        // shard-salted: see the single-field positions stage (sentinel
-        // skew) — partitionBy(bucket) keeps on-disk placement identical
-        .repartition(cfg.numPartitions, $"term",
-          expr(s"docId div ${cfg.docsPerShard}"))
-        .sortWithinPartitions($"term", $"docId")
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/positions")
+      writePositions(
+        docsDf
+          .select($"docId",
+            array(fieldCols.map(c => coalesce(col(c), lit(""))): _*).as("fs"))
+          .as[(Int, Seq[String])]
+          .flatMap { case (id, fs) => positionRowsOf(id, fs, stop, tok, tb) },
+        s"$indexDir/positions", cfg, cfg.numPartitions)
       Nil
     }
     doclenStage(spark, indexDir, cfg, fromPositions = true)

@@ -79,6 +79,62 @@ class ChunkShuffleSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked and row POSITION transports produce identical positions tables") {
+    def build(chunked: Boolean): String = {
+      val dir = Files.createTempDirectory(s"poschunk$chunked").toString
+      IndexBuild.build(spark, corpus(250), dir,
+        IndexConfig(docsPerShard = 32, termBuckets = 3, blockSize = 8,
+          numPartitions = 4, positions = true, chunkedShuffle = chunked,
+          stopWords = Set("return")))
+      dir
+    }
+    def table(dir: String) = spark.read.parquet(s"$dir/positions")
+      .select("term", "docId", "positions", "tf", "bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Int](2).toSeq,
+        r.getInt(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    val (da, db) = (build(chunked = true), build(chunked = false))
+    val (a, b) = (table(da), table(db))
+    assert(a.length == b.length && a.sameElements(b),
+      s"chunked=${a.length} rows vs row=${b.length}; first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
+    // doclen (renamed sentinel) identical too
+    val la = IndexBuild.readDoclen(spark, da).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    val lb = IndexBuild.readDoclen(spark, db).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(la == lb && la.nonEmpty)
+    // cascade results identical (phrase/proximity read positions)
+    val ra = new graft.rank.MeiliRank(new graft.search.SearchEngine(spark, da))
+      .search("spark merge", 20).collect().map(_.toSeq).toSeq
+    val rb = new graft.rank.MeiliRank(new graft.search.SearchEngine(spark, db))
+      .search("spark merge", 20).collect().map(_.toSeq).toSeq
+    assert(ra == rb)
+  }
+
+  test("position chunk round-trip: flatten(chunk(s)) == sorted s with fid<<16 positions and budget flushes") {
+    val dps = 16
+    val rows: Seq[(String, Int, Array[Int], Int)] =
+      (0 until 120).flatMap { d =>
+        Seq(("hot", Array((1 << 16) | d % 7, (1 << 16) | (d % 7 + 3)), 2),
+          (s"t${d % 5}", Array(d % 11), 1))
+          .map { case (t, ps, tf) => (t, d, ps, tf) }
+      }
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val chunks = IndexBuild.chunkPositionRows(shuffled.iterator, dps, 16).toSeq
+    chunks.groupBy(c => (c._1, IndexBuild.keyDoc(c._2) / dps)).foreach {
+      case ((term, shard), cs) =>
+        val got = IndexBuild.flattenPositionChunks(cs.sortBy(_._2).iterator, 3)
+          .map(r => (r._1, r._2, r._3.toSeq, r._4, r._5)).toSeq
+        val want = rows
+          .filter(r => r._1 == term && r._2 / dps == shard)
+          .sortBy(_._2)
+          .map(r => (r._1, r._2, r._3.toSeq, r._4,
+            IndexBuild.bucketOfIndexed(r._1, 3)))
+        assert(got == want, s"($term, $shard)")
+    }
+  }
+
   test("chunked shuffle writes fewer shuffle bytes than the row shuffle") {
     def shuffleBytes(chunked: Boolean): Long = {
       val dir = Files.createTempDirectory(s"sb$chunked").toString
