@@ -45,6 +45,9 @@ object BuildProfile {
       .as[graft.corpus.SourceFile]
     def cfg(np: Int) = IndexConfig(docsPerShard = 1 << 14, termBuckets = 4,
       blockSize = 128, numPartitions = np, storageOrderIds = storageOrder,
+      // SPARK_GRAFT_PROFILE_POSITIONS=1: profile the positions-enabled
+      // pipeline (cascade-index shape) instead of the bench shape
+      positions = sys.env.get("SPARK_GRAFT_PROFILE_POSITIONS").contains("1"),
       // SPARK_GRAFT_CHUNKED=0: row-shuffle A/B arm
       chunkedShuffle = !sys.env.get("SPARK_GRAFT_CHUNKED").contains("0"))
     // warmup build (JIT): small n, separate dir
