@@ -98,6 +98,33 @@ object Tokenizer extends Serializable {
     def inDictionary(raw: String): Boolean =
       dictionary.nonEmpty &&
         dictLower.contains(raw.toLowerCase(java.util.Locale.ROOT))
+    /** Dictionary entries that start with an unspaced-script codepoint
+      * (Thai/Lao/Khmer/Myanmar/CJK), grouped by that first codepoint
+      * with longest entries first — the segmentation dictionary for
+      * scripts written without word separators (the reference feeds the
+      * same `dictionary` setting to charabia's `words_dict` segmenter,
+      * tokenize_document.rs:166-173). Resolved once per settings
+      * instance; empty for a Latin-only dictionary, in which case
+      * tokenization is byte-identical to the dictionary-less path. */
+    @transient private[Tokenizer] lazy val segByFirst: Map[Int, Array[String]] =
+      dictionary.iterator
+        .filter(w => w.nonEmpty && isUnspaced(w.codePointAt(0)))
+        .toArray.groupBy(_.codePointAt(0))
+        .map { case (cp, ws) => cp -> ws.sortBy(w => (-w.length, w)) }
+    private[Tokenizer] def hasSegDict: Boolean = segByFirst.nonEmpty
+    /** Longest dictionary entry matching `text` at offset `i`, or null.
+      * Greedy longest-match-at-position: deterministic, and the
+      * documented subset of charabia's leftmost-longest automaton. */
+    private[Tokenizer] def segMatchAt(text: String, i: Int): String = {
+      val cands = segByFirst.getOrElse(text.codePointAt(i), null)
+      if (cands == null) return null
+      var k = 0
+      while (k < cands.length) {
+        if (text.startsWith(cands(k), i)) return cands(k)
+        k += 1
+      }
+      null
+    }
     // multi-char separators sorted longest-first so overlapping entries
     // ("--", "-->") match greedily, like a tokenizer should
     private[Tokenizer] val sepStringsOrdered: Array[String] =
@@ -148,7 +175,19 @@ object Tokenizer extends Serializable {
   }
 
   @inline private def isWordChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '_'
+    Character.isLetterOrDigit(c) || c == '_' || (c >= '\u0300' && {
+      // UAX#29 `Extend`: combining marks join the word they follow —
+      // required for Thai/Lao/Khmer (vowel/tone marks are Mn/Mc, e.g.
+      // U+0E31 in สวัสดี) and for decomposed Latin diacritics; the
+      // ASCII hot path skips with the range compare. normalize()
+      // strips Latin/Arabic/Hebrew marks later (SEA marks are kept —
+      // they are phonemic), so Latin terms are unchanged — this only
+      // stops word runs from breaking AT a mark.
+      val t = Character.getType(c)
+      t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+    })
 
   /** The settings-aware word-character predicate (shared with
     * QueryParser so query segmentation matches the index). */
@@ -181,7 +220,16 @@ object Tokenizer extends Serializable {
     while (i < nfkd.length) {
       val c = nfkd.charAt(i)
       if (c == 'ـ') () // Arabic tatweel: pure elongation, dropped
-      else if (Character.getType(c) != Character.NON_SPACING_MARK)
+      else if (Character.getType(c) != Character.NON_SPACING_MARK ||
+        // Thai/Lao/Myanmar/Khmer vowel and tone marks are PHONEMIC,
+        // not optional diacritics — stripping them would merge
+        // distinct words (สี/ส). Latin accents, Arabic harakat and
+        // Hebrew niqqud stay stripped (charabia does the same: its
+        // SEA normalizers keep marks, its arabic/hebrew ones drop
+        // them).
+        (c >= '\u0E00' && (c <= '\u0EFF' ||
+          (c >= '\u1000' && c <= '\u109F') ||
+          (c >= '\u1780' && c <= '\u17FF'))))
         sb.append(foldChar(c))
       i += 1
     }
@@ -217,6 +265,21 @@ object Tokenizer extends Serializable {
         (s eq Character.UnicodeScript.HIRAGANA) ||
         (s eq Character.UnicodeScript.KATAKANA)
     }
+
+  /** Codepoint of a script written without word separators: the
+    * Southeast-Asian blocks — Thai U+0E00-0E7F, Lao U+0E80-0EFF,
+    * Myanmar U+1000-109F, Khmer U+1780-17FF — plus Han/kana. These are
+    * the scripts the reference segments with charabia's
+    * dictionary-backed segmenters; runs of them are eligible for
+    * user-dictionary longest-match segmentation here. Fast path: every
+    * such codepoint is ≥ U+0E00, so ASCII/Latin skips with one
+    * compare. */
+  @inline private[Tokenizer] def isUnspaced(cp: Int): Boolean =
+    cp >= 0x0E00 && (
+      cp <= 0x0EFF ||                      // Thai + Lao
+        (cp >= 0x1000 && cp <= 0x109F) ||  // Myanmar
+        (cp >= 0x1780 && cp <= 0x17FF) ||  // Khmer
+        isCjk(cp))
 
   /** Split a raw word into subtokens on case/underscore/digit boundaries;
     * CJK (Han/kana) runs additionally split into one subtoken per
@@ -345,7 +408,7 @@ object Tokenizer extends Serializable {
         val raw = text.substring(start, i)
         val subs =
           if (s.inDictionary(raw)) Seq((raw, 0))
-          else subtokensWithOffsets(raw, cjkSplit)
+          else subtokensWithOffsets(raw, cjkSplit, s)
         var j = 0
         while (j < subs.length) {
           val (sub, off) = subs(j)
@@ -366,9 +429,81 @@ object Tokenizer extends Serializable {
     out.toSeq
   }
 
+  /** Settings-aware [[subtokens]]: identical to the two-arg form unless
+    * the dictionary carries unspaced-script entries (see
+    * [[TokSettings.segByFirst]]), in which case Thai/Lao/Khmer/Myanmar/
+    * CJK runs segment by longest dictionary match — the reference's
+    * `dictionary` index setting fed to charabia's `words_dict`
+    * segmenter (tokenize_document.rs:166-173). Unmatched stretches
+    * between matches fall back to one token per CJK codepoint (when
+    * `cjkSplit`) or one token per contiguous unknown run. */
+  def subtokens(word: String, cjkSplit: Boolean, s: TokSettings): Seq[String] =
+    if (!s.hasSegDict) subtokens(word, cjkSplit)
+    else subtokensWithOffsets(word, cjkSplit, s).map(_._1)
+
   /** [[subtokens]] plus each subtoken's offset within the word. */
   def subtokensWithOffsets(word: String): Seq[(String, Int)] =
     subtokensWithOffsets(word, cjkSplit = true)
+
+  /** Settings-aware offset variant; see the three-arg [[subtokens]]. */
+  def subtokensWithOffsets(word: String, cjkSplit: Boolean,
+                           s: TokSettings): Seq[(String, Int)] = {
+    if (!s.hasSegDict) return subtokensWithOffsets(word, cjkSplit)
+    var i = 0
+    var hasUnspaced = false
+    while (i < word.length && !hasUnspaced) {
+      val cp = word.codePointAt(i)
+      if (isUnspaced(cp)) hasUnspaced = true
+      i += Character.charCount(cp)
+    }
+    if (!hasUnspaced) return subtokensWithOffsets(word, cjkSplit)
+    val out = new ArrayBuffer[(String, Int)](8)
+    val seg = new java.lang.StringBuilder   // pending spaced-script run
+    var segStart = 0
+    var unkStart = -1                       // pending unmatched unspaced run
+    @inline def flushSeg(): Unit = if (seg.length > 0) {
+      // seg is a contiguous unspaced-free substring of word starting at
+      // segStart, so its subtoken offsets shift by segStart (the
+      // sequential-cursor helper handles repeated subtokens correctly)
+      subtokensWithOffsets(seg.toString, cjkSplit).foreach {
+        case (t, off) => out += ((t, segStart + off))
+      }
+      seg.setLength(0)
+    }
+    @inline def flushUnk(end: Int): Unit = if (unkStart >= 0) {
+      out += ((word.substring(unkStart, end), unkStart))
+      unkStart = -1
+    }
+    i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isUnspaced(cp)) {
+        flushSeg()
+        val m = s.segMatchAt(word, i)
+        if (m != null) {
+          flushUnk(i)
+          out += ((m, i))
+          i += m.length
+        } else if (isCjk(cp) && cjkSplit) {
+          flushUnk(i)
+          out += ((word.substring(i, i + w), i))
+          i += w
+        } else {
+          if (unkStart < 0) unkStart = i
+          i += w
+        }
+      } else {
+        flushUnk(i)
+        if (seg.length == 0) segStart = i
+        seg.append(word, i, i + w)
+        i += w
+      }
+    }
+    flushUnk(word.length)
+    flushSeg()
+    out.toSeq
+  }
 
   def subtokensWithOffsets(word: String, cjkSplit: Boolean): Seq[(String, Int)] = {
     val subs = subtokens(word, cjkSplit)
@@ -410,7 +545,8 @@ object Tokenizer extends Serializable {
         while (i < n && isWordChar(text.charAt(i), s) &&
           (!hasSepStrings || sepStringLenAt(text, i, s) < 0)) i += 1
         val raw = text.substring(start, i)
-        val subs = if (s.inDictionary(raw)) Seq(raw) else subtokens(raw, cjkSplit)
+        val subs =
+          if (s.inDictionary(raw)) Seq(raw) else subtokens(raw, cjkSplit, s)
         subs.foreach { sub =>
           val norm = normalize(sub)
           if (norm.nonEmpty && norm.getBytes("UTF-8").length <= MaxWordLength)

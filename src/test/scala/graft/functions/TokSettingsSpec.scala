@@ -285,6 +285,87 @@ class TokSettingsSpec extends AnyFunSuite {
     assert(e.searchDF("שלומ", 5).collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("dictionary segments unspaced scripts (thai/lao/khmer/cjk) by longest match") {
+    // Thai: no spaces between words; the reference segments via the
+    // user dictionary fed to charabia's words_dict
+    // (tokenize_document.rs:166-173). แมวกินปลา = cat|eats|fish.
+    val th = Tokenizer.TokSettings(
+      dictionary = Set("แมว", "กิน", "ปลา", "ปลาทอง", "สวัสดี", "ครับ"))
+    assert(Tokenizer.terms("แมวกินปลา", th) ==
+      Seq("แมว", "กิน", "ปลา").map(Tokenizer.normalize))
+    // longest match wins at a shared prefix: ปลาทอง (goldfish) over ปลา
+    assert(Tokenizer.terms("แมวกินปลาทอง", th) ==
+      Seq("แมว", "กิน", "ปลาทอง").map(Tokenizer.normalize))
+    // combining vowel marks (U+0E31, U+0E35 in สวัสดี) stay inside the
+    // word run AND survive normalization (they are phonemic)
+    assert(Tokenizer.terms("สวัสดีครับ", th) ==
+      Seq("สวัสดี", "ครับ").map(Tokenizer.normalize))
+    assert(Tokenizer.normalize("สวัสดี") != Tokenizer.normalize("สวสด"),
+      "Thai vowel marks are not stripped")
+    // an unmatched stretch between matches falls back to ONE token
+    assert(Tokenizer.terms("แมวบบกิน", th) ==
+      Seq("แมว", "บบ", "กิน").map(Tokenizer.normalize))
+    // mixed Latin + Thai: the Latin side still camel-splits
+    assert(Tokenizer.terms("parseHTTPแมวกิน", th) ==
+      Seq("parse", "http") ++ Seq("แมว", "กิน").map(Tokenizer.normalize))
+    // positions are sequential word slots (phrase/proximity machinery
+    // works at word granularity, not codepoints)
+    assert(Tokenizer.tokenize("แมวกินปลา", th).map(_.pos) == Seq(0, 1, 2))
+    // offsets point into the original text (highlighting)
+    val offs = Tokenizer.tokenizeWithOffsets("แมวกินปลา", th)
+    assert(offs.map(t => (t.start, t.end)) == Seq((0, 3), (3, 6), (6, 9)))
+    // CJK runs: dictionary entries match word-level, the rest falls
+    // back to unigrams (the retrieval-equivalent default)
+    val zh = Tokenizer.TokSettings(dictionary = Set("北京", "大学"))
+    assert(Tokenizer.terms("北京大学图书", zh) == Seq("北京", "大学", "图", "书"))
+    // a Latin-only dictionary has NO segmentation entries: tokenization
+    // is identical to the dictionary-less default on every script
+    val latin = Tokenizer.TokSettings(dictionary = Set("ActionScript"))
+    Seq("แมวกินปลา", "abc北京def", "foo_barBaz 42").foreach { t =>
+      assert(Tokenizer.tokenize(t, latin) == Tokenizer.tokenize(t), t)
+    }
+    // countTokens agrees with tokenize under segmentation
+    Seq("แมวกินปลาทอง", "สวัสดีครับ", "parseHTTPแมวกิน", "北京大学图书")
+      .foreach { t =>
+        assert(Tokenizer.countTokens(t, th) == Tokenizer.tokenize(t, th).length, t)
+        assert(Tokenizer.countTokens(t, zh) == Tokenizer.tokenize(t, zh).length, t)
+      }
+  }
+
+  test("thai dictionary segmentation end-to-end: index and query agree; dump carries the dictionary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("thaidict").toString
+    val cfg = graft.index.IndexConfig(docsPerShard = 4, termBuckets = 2,
+      blockSize = 4, numPartitions = 2,
+      tokenizer = Tokenizer.TokSettings(
+        dictionary = Set("แมว", "กิน", "ปลา", "นอน")))
+    val df = Seq(
+      (0L, "แมวกินปลา"),        // cat eats fish
+      (1L, "แมวนอน"),           // cat sleeps
+      (2L, "unrelated latin")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("th"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    graft.index.IndexBuild.buildFromTable(spark, df, "doc_id", "text",
+      "lang", "source", dir, cfg)
+    val e = new graft.search.SearchEngine(spark, dir)
+    // the index holds WORD tokens, not the whole phrase run
+    assert(e.dict.contains(Tokenizer.normalize("แมว")))
+    assert(!e.dict.contains(Tokenizer.normalize("แมวกินปลา")))
+    // query side segments the same unspaced run with the same dictionary
+    assert(e.searchDF("แมว", 5).collect().map(_.getInt(0)).toSet == Set(0, 1))
+    assert(e.searchDF("แมวกินปลา", 5).collect().map(_.getInt(0)).head == 0)
+    // dump round-trip keeps the segmentation dictionary
+    val dumpDir = java.nio.file.Files.createTempDirectory("thdump").toString
+    val restored = java.nio.file.Files.createTempDirectory("threst").toString
+    graft.index.Dump.exportDump(spark, dir, dumpDir)
+    graft.index.Dump.importDump(spark, dumpDir, restored,
+      graft.index.IndexConfig(docsPerShard = 4, termBuckets = 2,
+        blockSize = 4, numPartitions = 2))
+    val e2 = new graft.search.SearchEngine(spark, restored)
+    assert(e2.tokSettings.dictionary == cfg.tokenizer.dictionary)
+    assert(e2.searchDF("แมวกินปลา", 5).collect().map(_.getInt(0)).head == 0)
+  }
+
   test("parseFidLocale validates the persisted '<fid>:<locale>' shape (shared by engine loader and dump import)") {
     assert(Tokenizer.TokSettings.parseFidLocale("3:zh") == (3 -> "zh"))
     assert(Tokenizer.TokSettings.parseFidLocale("10:en-US") == (10 -> "en-US"))
