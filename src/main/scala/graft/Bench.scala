@@ -489,6 +489,14 @@ object Bench {
   private def queryPhase(sfDir: String, cpus: Int)
       : (Seq[(String, Double)], Seq[String], Double) = {
     val spark = newSession(cpus)
+    // Interactive queries run with AQE off (A/B'd, see BENCH.md): every
+    // AQE exchange materializes as its own Spark job — 1-3 extra driver
+    // round trips per sub-second query — and the query plans here are
+    // bucket-pruned scans + broadcast joins whose shapes are known at
+    // plan time, so runtime re-planning has nothing to improve. Builds
+    // keep AQE on (skew + coalescing matter at corpus scale).
+    spark.conf.set("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_AQE", "false"))
     // warm the document index once so query timings measure queries
     DocIndex.engine(spark, sfDir)
     // warm pass: run every query once untimed. Cold single-shot timings

@@ -16,6 +16,8 @@ object QueryJobs {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger()
@@ -23,11 +25,19 @@ object QueryJobs {
     val tasks = new AtomicInteger()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+          val d = Option(j.properties)
+            .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+          println(s"    job ${j.jobId}: $d (${j.stageInfos.size} stages)")
+        }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
-        tasks.addAndGet(s.stageInfo.numTasks); ()
+        tasks.addAndGet(s.stageInfo.numTasks)
+        if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+          println(s"    stage ${s.stageInfo.stageId}: ${s.stageInfo.name} " +
+            s"tasks=${s.stageInfo.numTasks}")
       }
     })
     val e = DocIndex.engine(spark, sf)

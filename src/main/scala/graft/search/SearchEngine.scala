@@ -164,6 +164,17 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
   private def liveOnly(df: DataFrame): DataFrame =
     deletedDf.fold(df)(d => df.join(broadcast(d), Seq("docId"), "left_anti"))
 
+  /** Base DataFrame for an index table, resolved ONCE per engine:
+    * `spark.read.parquet` re-lists files and re-reads footers on every
+    * call — a 1-task Spark job per invocation that showed up as 1-3
+    * extra jobs on EVERY query (QueryJobs dev tool). The engine is a
+    * snapshot of the index (documented at the class header), so the
+    * cached listing is exactly as stale as every other loaded table. */
+  private val tableDFs =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def tableDF(table: String): DataFrame =
+    tableDFs.getOrElseUpdate(table, spark.read.parquet(s"$indexDir/$table"))
+
   /** Doc store WITHOUT the derived `len` column (unless the index is an
     * old layout that stored it physically) — the cheap view for paths
     * that don't need the BM25 norm. */
@@ -249,7 +260,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * blocks — same layout, same pruning). */
   def blocksFor(terms: Seq[QueryTerm], table: String = "postings"): DataFrame = {
     val buckets = terms.map(_.bucket).distinct
-    spark.read.parquet(s"$indexDir/$table")
+    tableDF(table)
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms.map(_.term): _*))
   }
 
@@ -453,7 +464,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     * ("positions", or "prefix_positions" for merged prefix rows). */
   def positionsFor(terms: Seq[String], table: String = "positions"): DataFrame = {
     val buckets = terms.map(IndexBuild.bucketOf(_, termBuckets)).distinct
-    liveOnly(spark.read.parquet(s"$indexDir/$table")
+    liveOnly(tableDF(table)
       .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*)))
   }
 
@@ -678,7 +689,7 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no facet index for '$colName' — run IndexBuild.buildFacetIndex first")
-    spark.read.parquet(s"$indexDir/facets/$colName").filter(where)
+    tableDF(s"facets/$colName").filter(where)
   }
 
   /** Exhaustive count of docs whose facet value satisfies `where`,
