@@ -447,6 +447,31 @@ object SparkEntry {
       val mr = new graft.rank.MeiliRank(new graft.search.SearchEngine(s, idxDir))
       meiliCols(mr.search("the spark merge", 50))
     }),
+    // ---- unspaced-script (Thai) dictionary segmentation (X1): the
+    // reference's `dictionary` setting fed to charabia's words_dict
+    // segmenter. Synthetic Thai corpus derived from doc_id so the
+    // DuckDB oracle can rebuild the SAME docs and re-derive the
+    // segmentation independently (recursive longest-match CTE); the
+    // whole index pipeline (chunked shuffle, VByte blocks, dict stats)
+    // runs over the segmented tokens ----------------------------------
+    "q_thai_dict" -> ((s, dir) => {
+      val idxDir = s"/tmp/graft-thaiidx-v1/${dirTag(dir)}"
+      val thaiText = expr(
+        "CASE CAST(doc_id % 4 AS INT) " +
+          "WHEN 0 THEN 'แมวกินปลา' WHEN 1 THEN 'ปลาทองนอน' " +
+          "WHEN 2 THEN 'สวัสดีครับ' ELSE 'กินปลาปลาทอง' END")
+      val sub = docsDf(s, dir).filter(col("doc_id") < 400)
+        .withColumn("text", thaiText)
+      graft.index.IndexBuild.buildFromTable(s, sub,
+        docIdCol = "doc_id", contentCol = "text", langCol = "lang",
+        sourceCol = "source", indexDir = idxDir,
+        cfg = graft.index.IndexConfig(docsPerShard = 64, termBuckets = 4,
+          blockSize = 128, numPartitions = 8,
+          tokenizer = graft.functions.Tokenizer.TokSettings(dictionary =
+            Set("แมว", "กิน", "ปลา", "ปลาทอง", "นอน", "สวัสดี", "ครับ"))))
+      s.read.parquet(s"$idxDir/dict").select(col("term"), col("df"), col("cf"))
+        .orderBy(col("term"))
+    }),
     // ---- multi-field index + fid ranking rule (R4 fid sub-rule) ---------
     "q_multifield" -> ((s, dir) => {
       val mr = new graft.rank.MeiliRank(
@@ -1188,6 +1213,31 @@ object SparkEntry {
       splits = Map(0 -> Seq("spark", "merge"))),
     "q_meili_prefix" -> meiliOracleSql(Seq("spark", "win"), 50, prefixLast = true),
     "q_stopword" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = StopTok),
+    // independent re-derivation of the dictionary segmentation: a
+    // recursive CTE segments each distinct synthetic Thai doc by
+    // longest dictionary match (nothing shared with the Scala
+    // greedy-match loop), then df/cf aggregate over the 400-doc corpus
+    "q_thai_dict" ->
+      """WITH RECURSIVE
+        |docs AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'แมวกินปลา' WHEN 1 THEN 'ปลาทองนอน'
+        |    WHEN 2 THEN 'สวัสดีครับ' ELSE 'กินปลาปลาทอง' END AS text
+        |  FROM documents WHERE doc_id < 400),
+        |dict(w) AS (VALUES ('แมว'),('กิน'),('ปลา'),('ปลาทอง'),('นอน'),('สวัสดี'),('ครับ')),
+        |texts AS (SELECT DISTINCT text FROM docs),
+        |seg AS (
+        |  SELECT text, text AS rest, CAST(NULL AS VARCHAR) AS term FROM texts
+        |  UNION ALL
+        |  SELECT s.text, substr(s.rest, length(d.w) + 1), d.w
+        |  FROM seg s JOIN dict d ON starts_with(s.rest, d.w)
+        |  WHERE length(d.w) = (SELECT max(length(d2.w)) FROM dict d2
+        |                       WHERE starts_with(s.rest, d2.w))),
+        |toks AS (SELECT text, term FROM seg WHERE term IS NOT NULL),
+        |tf AS (SELECT d.doc_id, t.term, count(*) AS tf
+        |       FROM docs d JOIN toks t USING (text) GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_multifield" -> meiliOracleSql(Seq("spark", "merge"), 50, tokCte = MfTok,
       fidWeightSql = Some("CASE WHEN pos // 65536 = 0 THEN 0 ELSE 1 END"),
       maxFid = 2, fidCol = true),
