@@ -40,6 +40,16 @@ final case class Hit(docId: Int, score: Double)
   * (the reference's RoTxn snapshot semantics; `api.Client.index`
   * already returns a fresh engine per call, so facade users get this
   * for free). A held instance keeps serving the pre-mutation view.
+  *
+  * INTERACTIVE DEPLOYMENT: warm query latency is Spark-job-dispatch
+  * bound (2-3 jobs/query after the table-reader cache), not data
+  * bound — the plans read only the query's pruned term buckets. For a
+  * latency-sensitive service, run the query session with
+  * `spark.sql.adaptive.enabled=false`: these plans are pruned scans +
+  * broadcast joins with nothing for AQE to re-plan, and each AQE
+  * exchange otherwise materializes as an extra driver round trip
+  * (measured ~17% on warm p50, BENCH.md). Batch/build sessions should
+  * keep AQE on.
   */
 final class SearchEngine(val spark: SparkSession, val indexDir: String,
                          val broadcastDfCap: Long = SearchEngine.BroadcastDfCap)
