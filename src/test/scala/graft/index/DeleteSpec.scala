@@ -32,6 +32,27 @@ class DeleteSpec extends AnyFunSuite {
     dir
   }
 
+  test("engine is a construction-time snapshot: a held engine serves the pre-append view, a new engine sees the delta") {
+    val dir = freshIndex()
+    val held = new SearchEngine(spark, dir)
+    // touch the query path so the held engine resolves its table
+    // listings (tableDF cache + lazy doclen) BEFORE the mutation
+    val before = held.searchDF("buffer stream", 20).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(before.keySet == Set(0, 3, 6, 9))
+    IndexBuild.append(spark,
+      Seq(src(12, "extra buffer stream doc")).toDS(), dir, cfg, "snap1")
+    // held engine: the documented RoTxn-style snapshot — same hits,
+    // bit-identical scores, no half-visible delta segments
+    val after = held.searchDF("buffer stream", 20).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(after == before, "held engine must keep the pre-append view")
+    // a NEW engine sees the appended doc
+    val fresh = new SearchEngine(spark, dir)
+    assert(fresh.searchDF("buffer stream", 20).collect()
+      .map(_.getInt(0)).toSet == Set(0, 3, 6, 9, 12))
+  }
+
   test("delete excludes docs from every read path; surviving scores unchanged") {
     val dir = freshIndex()
     val before = new SearchEngine(spark, dir)
