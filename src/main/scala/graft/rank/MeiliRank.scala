@@ -451,13 +451,38 @@ final class MeiliRank(engine: SearchEngine,
     if (n == 0)
       return engine.docsRaw.limit(0)
         .select($"docId", lit(0).as("rankingScore"))
-    val withMeta = filtered.join(engine.docsRaw.drop("len"), Seq("docId"))
+    val metaSrc = engine.docsRaw.drop("len")
+    // Doc columns a rule needs BEFORE the top-k cut: a sort rule or a
+    // custom `field:asc|desc` rule ranks by a document attribute that
+    // only exists after the metadata join.
+    val docSortCols: Seq[String] = sortBy.map(_._1).toSeq ++
+      rankingRules.collect { case MeiliRank.CustomRule(f, _) => f }
+    val universeCols = filtered.columns.toSet
     val ordered = distinct match {
       case Some(dcol) =>
+        // distinct windows over a doc attribute → metadata join first
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(dcol)).orderBy(sortCols: _*)
-        withMeta.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
-      case None => withMeta
+        filtered.join(metaSrc, Seq("docId"))
+          .withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
+      case None if docSortCols.forall(universeCols.contains) =>
+        // Every sort key lives in the scored universe → take the top-k
+        // FIRST (the cascade runs once, k is page-sized), then fetch
+        // metadata for exactly those docids with an IN predicate the
+        // parquet scan prunes on — the doc store is never joined
+        // wholesale. (The previous shape joined the full docs table
+        // before the cut; at corpus scale that join shuffles the doc
+        // store, and even locally it broadcast-scanned every row. Same
+        // results: the docId-asc tiebreak makes the cut deterministic,
+        // and the k joined rows re-sort below.)
+        val top = filtered.orderBy(sortCols: _*).limit(k)
+        val rows = top.collect() // one job; ≤ k rows (page-sized)
+        val idIdx = top.schema.fieldIndex("docId")
+        val ids = rows.map(_.getInt(idIdx)).toSeq
+        val topDf = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), top.schema)
+        topDf.join(metaSrc.filter($"docId".isin(ids: _*)), Seq("docId"))
+      case None => filtered.join(metaSrc, Seq("docId"))
     }
     val cols = Seq($"docId", $"wordsRank", $"typoCost", $"proxCost",
       $"fidCost", $"posCost", $"exactAttr", $"exactWords", $"rankingScore",

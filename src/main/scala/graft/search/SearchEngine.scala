@@ -750,12 +750,20 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     ordered.drop("nv").limit(maxValues)
   }
 
-  /** Top-k + document materialization (reference make_hits). */
+  /** Top-k + document materialization (reference make_hits). The k
+    * scored rows are cut FIRST (one job), then metadata is fetched with
+    * a docId IN predicate the parquet scan prunes on — the doc store is
+    * never joined wholesale (same shape as MeiliRank.search's
+    * materialization). */
   def searchHits(q: String, k: Int, filter: Option[String] = None,
                  conjunctive: Boolean = true): DataFrame = {
     val cand = filter.map(f => docs.filter(graft.query.FilterParser.parse(f)))
     val top = searchDF(q, k, conjunctive, cand)
-    top.join(docsRaw, Seq("docId"))
+    val rows = top.collect() // ≤ k rows (page-sized)
+    val ids = rows.map(_.getInt(0)).toSeq
+    val topDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), top.schema)
+    topDf.join(docsRaw.filter($"docId".isin(ids: _*)), Seq("docId"))
       .select($"docId", $"score", $"repo", $"path", $"commit", $"lang")
       .orderBy($"score".desc, $"docId".asc)
   }

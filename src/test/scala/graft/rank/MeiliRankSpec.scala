@@ -279,11 +279,33 @@ class MeiliRankSpec extends AnyFunSuite {
     // proximity pairs + the attribute fid/position sub-ranks all derive
     // from ONE (docId -> [(slot, pos)]) aggregation — the previous shape
     // scanned positions three times (two proximity self-join sides +
-    // the position rank)
-    val plan = mr.search("the quick brown fox", 10)
-      .queryExecution.executedPlan.toString
+    // the position rank). search() now materializes the top-k cut
+    // before the metadata lookup, so the property is asserted on the
+    // scored-universe plan (the plan that contains the cascade).
+    val plan = mr.scoredUniverse("the quick brown fox")
+      ._1.queryExecution.executedPlan.toString
     val scans = plan.split('\n')
       .count(l => l.contains("FileScan") && l.contains("/positions"))
     assert(scans == 1, s"expected exactly one positions FileScan, got $scans")
+  }
+
+  test("hit materialization never joins the full doc store: top-k cut first, docId-pushed metadata lookup") {
+    // at corpus scale a wholesale scored-universe ⋈ docs join shuffles
+    // the doc store; search() instead cuts to k rows, then fetches
+    // metadata with an IN predicate the parquet scan prunes on
+    val df = mr.search("quick brown", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("ResultQueryStage"),
+      s"top rows should be a localized table:\n$plan")
+    val docsScan = plan.split('\n').filter(l =>
+      l.contains("FileScan") && l.contains("/docs"))
+    assert(docsScan.forall(_.contains("docId")),
+      s"docs scan must carry the pushed docId predicate:\n${docsScan.mkString("\n")}")
+    // and the results are identical to the pre-cut join shape
+    val viaJoin = mr.scoredUniverse("quick brown")._1
+      .join(engine.docsRaw.drop("len"), Seq("docId"))
+      .orderBy(mr.scoredUniverse("quick brown")._2: _*).limit(5)
+      .select($"docId").collect().map(_.getInt(0)).toSeq
+    assert(df.select($"docId").collect().map(_.getInt(0)).toSeq == viaJoin)
   }
 }
