@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
+  /** Keyword arm: the top-`pool` scored universe, (docId, rankingScore)
+    * only — NOT `MeiliRank.search`, which materializes the page plus
+    * document metadata the merge never reads (and whose eager top-k
+    * collect would pull `pool` rows to the driver when the caller
+    * passes a large ordering pool). */
+  private def kwArm(mr: graft.rank.MeiliRank, q: String,
+                    pool: Int): DataFrame = {
+    val (filtered, sortCols, n) = mr.scoredUniverse(q)
+    if (n == 0)
+      filtered.sparkSession.range(0)
+        .select(col("id").cast("int").as("docId"),
+          lit(0.0).as("rankingScore"))
+    else filtered.orderBy(sortCols: _*).limit(pool)
+      .select(col("docId"), col("rankingScore"))
+  }
+
   /** Merge pre-scored lists. `keyword`: (docId, rankingScore);
     * `semantic`: (docId, score). Returns (docId, hybridScore, kwScore,
     * semScore) top-k by (hybridScore desc, docId asc). */
@@ -111,8 +127,7 @@ object Hybrid {
              semanticIndexDir: Option[String] = None,
              semanticExactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
     val pool = if (candidatePool > 0) candidatePool else k
-    val kw = mr.search(q, pool)
-      .select(col("docId"), col("rankingScore"))
+    val kw = kwArm(mr, q, pool)
     val sem = semanticTopK(emb, idCol, vecCol, queryVecId,
       pool, semanticIndexDir, semanticExactMaxRows)
     merge(kw, sem, ratio, k)
@@ -158,8 +173,7 @@ object Hybrid {
                 semanticIndexDir: Option[String] = None,
                 semanticExactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
     val pool = if (candidatePool > 0) candidatePool else k
-    val kw = mr.search(q, pool)
-      .select(col("docId"), col("rankingScore"))
+    val kw = kwArm(mr, q, pool)
     val sem = semanticTopKVec(emb, idCol, vecCol, queryVec,
       pool, semanticIndexDir, semanticExactMaxRows)
     merge(kw, sem, ratio, k)
