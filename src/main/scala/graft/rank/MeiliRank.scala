@@ -433,7 +433,14 @@ final class MeiliRank(engine: SearchEngine,
   /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
     * fidCost, posCost, exactAttr, exactWords, rankingScore, plus doc
     * columns), ordered by the rule cascade with ascending-docId
-    * tie-break. */
+    * tie-break.
+    *
+    * EAGER like the reference's search: the top-k cut materializes
+    * driver-side (k is a page size — the facade caps it at
+    * maxTotalHits) so document metadata can be fetched with a
+    * docId-pushed pruned scan instead of joining the whole doc store.
+    * Callers needing a deep lazy ordering without metadata should use
+    * [[scoredUniverse]] (as Hybrid's keyword arm does). */
   def search(q: String, k: Int,
              filterExpr: Option[String] = None,
              sortBy: Option[(String, Boolean)] = None,
