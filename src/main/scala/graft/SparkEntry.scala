@@ -34,6 +34,37 @@ object SparkEntry {
     * that builds its own index). */
   private def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
+  /** Construction-time SearchEngine cache for the /tmp side indexes
+    * (index METADATA and table readers only — never query results; every
+    * query still computes from the index parquet). An engine eagerly
+    * collects stats/dict/settings at construction — ~6 driver-collect
+    * jobs — and each side index here is immutable once its lineage-
+    * committed build finishes, so re-reading that metadata on every
+    * call is pure job-dispatch overhead. Same pattern as
+    * [[DocIndex.engine]], which has always cached the main index's
+    * engine. Keyed by session (a fresh session must not see another
+    * session's plans); bounded LRU so long test runs with many
+    * sessions stay bounded. Callers must only cache an engine AFTER
+    * all mutating stages (build/delete) of the call path have run —
+    * every site below constructs the engine at that point already. */
+  private val engineLru = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), graft.search.SearchEngine](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), graft.search.SearchEngine])
+          : Boolean = size() > 32
+    })
+  private def cachedEngine(s: SparkSession, dir: String): graft.search.SearchEngine = {
+    val k = (s, dir)
+    val hit = engineLru.get(k)
+    if (hit != null) hit
+    else {
+      val e = new graft.search.SearchEngine(s, dir)
+      engineLru.put(k, e)
+      e
+    }
+  }
+
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embDf(s: SparkSession, dir: String): DataFrame =
@@ -66,7 +97,8 @@ object SparkEntry {
     * probed bucket partitions). Shared by q_knn_lsh and the hybrid
     * semantic-arm routing. */
   private def lshIndexDir(s: SparkSession, dir: String): String = {
-    val idxDir = s"/tmp/graft-lshidx-v2/${dirTag(dir)}"
+    // v3: byid carries (vec, nn) so the query-row lookup is one scan
+    val idxDir = s"/tmp/graft-lshidx-v3/${dirTag(dir)}"
     if (!new java.io.File(s"$idxDir/meta/_SUCCESS").exists())
       graft.ops.Similarity.buildLshIndex(s, embDf(s, dir), "vec_id", "embedding",
         idxDir, nPlanes = 4)
@@ -406,7 +438,7 @@ object SparkEntry {
           blockSize = 128, numPartitions = 8))
       graft.index.IndexBuild.delete(s, idxDir,
         (0 until 200 by 7).toSeq, "d1")
-      new graft.search.SearchEngine(s, idxDir)
+      cachedEngine(s, idxDir)
         .searchDF("batch stream", 1000000, conjunctive = true)
         .select(col("docId").cast("long").as("doc_id"),
           round(col("score"), 6).as("score"))
@@ -444,7 +476,7 @@ object SparkEntry {
         cfg = graft.index.IndexConfig(docsPerShard = 64, termBuckets = 4,
           blockSize = 128, numPartitions = 8, positions = true,
           stopWords = Set("the", "a")))
-      val mr = new graft.rank.MeiliRank(new graft.search.SearchEngine(s, idxDir))
+      val mr = new graft.rank.MeiliRank(cachedEngine(s, idxDir))
       meiliCols(mr.search("the spark merge", 50))
     }),
     // ---- unspaced-script (Thai) dictionary segmentation (X1): the
@@ -474,15 +506,13 @@ object SparkEntry {
     }),
     // ---- multi-field index + fid ranking rule (R4 fid sub-rule) ---------
     "q_multifield" -> ((s, dir) => {
-      val mr = new graft.rank.MeiliRank(
-        new graft.search.SearchEngine(s, mfIndexDir(s, dir)))
+      val mr = new graft.rank.MeiliRank(cachedEngine(s, mfIndexDir(s, dir)))
       meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
     }),
     // ---- ProximityPrecision::ByAttribute (proximity.rs:31-37): pair
     // distance collapses to same-field (1) vs different-field (8) ------
     "q_meili_prox_attr" -> ((s, dir) => {
-      val mr = new graft.rank.MeiliRank(
-        new graft.search.SearchEngine(s, mfIndexDir(s, dir)),
+      val mr = new graft.rank.MeiliRank(cachedEngine(s, mfIndexDir(s, dir)),
         proximityPrecision = graft.rank.ProximityPrecision.ByAttribute)
       meiliCols(mr.search("spark merge", 50), col("fidCost").cast("long").as("fid_cost"))
     }),
@@ -492,8 +522,7 @@ object SparkEntry {
     // field (fid 0) — docs whose only 'spark' is the synthetic title
     // lose the slot; exact 'merge' matches everywhere -----------------
     "q_meili_exact_attr" -> ((s, dir) => {
-      val mr = new graft.rank.MeiliRank(
-        new graft.search.SearchEngine(s, mfIndexDir(s, dir)),
+      val mr = new graft.rank.MeiliRank(cachedEngine(s, mfIndexDir(s, dir)),
         typo = graft.rank.TypoSettings(exactFids = Set(0)))
       meiliCols(mr.search("spork merge", 50), col("fidCost").cast("long").as("fid_cost"))
     }),
@@ -507,8 +536,8 @@ object SparkEntry {
         "doc_id", "text", "lang", "source", s"$base/a", cfg)
       graft.index.IndexBuild.buildFromTable(s, d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", "lang", "source", s"$base/b", cfg)
-      val eA = new graft.search.SearchEngine(s, s"$base/a")
-      val eB = new graft.search.SearchEngine(s, s"$base/b")
+      val eA = cachedEngine(s, s"$base/a")
+      val eB = cachedEngine(s, s"$base/b")
       graft.search.Federation.search(
           Seq(("a", eA, 1.0), ("b", eB, 0.5)), "batch stream", 1000000,
           conjunctive = true)
@@ -526,7 +555,7 @@ object SparkEntry {
       graft.index.Dump.exportDump(s, DocIndex.engine(s, dir).indexDir, dumpDir)
       graft.index.Dump.importDump(s, dumpDir, impDir,
         graft.index.IndexConfig(numPartitions = 8))
-      val e = new graft.search.SearchEngine(s, impDir)
+      val e = cachedEngine(s, impDir)
       // import reassigns dense docids by (repo, path) rank; `path` holds
       // the original external id, so results map back exactly
       e.searchDF("spark merge", 1000000, conjunctive = true)

@@ -35,6 +35,19 @@ object Dump {
     require(!fs.exists(new Path(s"$indexDir/fields")),
       "exportDump does not support multi-field indexes: the documents.jsonl " +
         "format stores only the concatenated content column")
+    // a dump dir is WRITE-ONCE, committed through the same lineage
+    // marker every build stage uses: a killed export re-runs (clean
+    // overwrite), a completed one is never re-exported — the reference's
+    // dump task is likewise a one-shot artifact (a new dump = a new
+    // dumpDir). Without the marker every call re-wrote the full corpus
+    // JSONL, the dominant cost of repeated export→import round trips.
+    Lineage.stage(spark, dumpDir, "export") { exportBody(spark, indexDir, dumpDir, fs); Nil }: Unit
+  }
+
+  private def exportBody(spark: SparkSession, indexDir: String, dumpDir: String,
+                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
     // LIVE documents only: a dump taken after delete() but before
     // compact() must not resurrect tombstoned docs on import
     IndexBuild.liveDocs(spark, indexDir)
@@ -132,10 +145,14 @@ object Dump {
             if (v.isEmpty) None else Some(v.toBoolean)
           })
       })
-    val docs = spark.read.json(s"$dumpDir/documents")
-      .select($"repo".cast("string"), $"path".cast("string"),
-        $"commit".cast("string"), $"lang".cast("string"),
-        $"content".cast("string"))
+    // explicit schema: the documents format is fixed (5 string fields),
+    // and schema INFERENCE would scan every JSONL byte before the build
+    // even starts — a full extra corpus pass per import call, paid even
+    // when every build stage is already committed and resumes for free
+    val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "repo string, path string, commit string, lang string, content string")
+    val docs = spark.read.schema(docsSchema).json(s"$dumpDir/documents")
+      .select($"repo", $"path", $"commit", $"lang", $"content")
       .as[SourceFile]
     IndexBuild.build(spark, docs, indexDir, restored)
     // rebuild derived facet indexes recorded in the dump settings

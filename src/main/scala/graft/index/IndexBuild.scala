@@ -1138,17 +1138,73 @@ object IndexBuild {
   def buildFacetIndex(spark: SparkSession, indexDir: String,
                       cols: Seq[String], numPartitions: Int = 4): Unit = {
     import spark.implicits._
+    // staleness = the SOURCE tables changed (docs/doclen/deleted): a
+    // driver-side file-listing fingerprint decides, costing zero Spark
+    // jobs — a repeated call over an unchanged index (every resumed
+    // import / cached-engine path) must not pay the full rebuild it
+    // exists to keep consistent. Fingerprint marker written AFTER the
+    // data (killed rebuild re-runs); append/delete change the listing,
+    // so the rebuild-on-change contract above is preserved exactly.
+    val sig = dirFingerprint(spark, Seq(s"$indexDir/docs",
+      s"$indexDir/doclen", s"$indexDir/deleted")) + s":$numPartitions"
+    val stale = cols.filterNot(c =>
+      readMarker(spark, s"$indexDir/facets/$c/$FprFile").contains(sig))
+    if (stale.isEmpty) return
     val live =
-      if (cols.contains("len")) liveDocsWithLen(spark, indexDir)
+      if (stale.contains("len")) liveDocsWithLen(spark, indexDir)
       else liveDocs(spark, indexDir)
-    cols.foreach { c =>
+    stale.foreach { c =>
       live.groupBy(col(c).as("value"))
         .agg(count(lit(1)).as("n"),
           min($"docId").as("docidMin"), max($"docId").as("docidMax"))
         .repartitionByRange(numPartitions, $"value")
         .sortWithinPartitions($"value")
         .write.mode("overwrite").parquet(s"$indexDir/facets/$c")
+      writeMarker(spark, s"$indexDir/facets/$c/$FprFile", sig)
     }
+  }
+
+  /** Underscore-prefixed so parquet readers ignore it as metadata. */
+  private final val FprFile = "_FINGERPRINT"
+
+  /** Driver-side fingerprint of table directories — recursive (path,
+    * length, mtime) listing, hashed. No Spark job: a staleness check
+    * must cost less than the rebuild it avoids. */
+  private def dirFingerprint(spark: SparkSession, dirs: Seq[String]): String = {
+    val sb = new StringBuilder
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val entries = ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.toUri.getPath
+          if (!name.endsWith(FprFile))
+            entries += s"$name:${f.getLen}:${f.getModificationTime}"
+        }
+        entries.sorted.foreach(e => sb.append(e).append('\n'))
+      }
+    }
+    Sha.hex(sb.toString)
+  }
+
+  private def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Precomputed prefix posting tables (reference U3: the index
@@ -1186,15 +1242,14 @@ object IndexBuild {
   def buildPrefixIndex(spark: SparkSession, indexDir: String, cfg: IndexConfig,
                        maxLen: Int = PrefixMaxLen, minDf: Long = PrefixMinDf): Unit = {
     import spark.implicits._
-    val sigRow = spark.read.parquet(s"$indexDir/postings")
-      .agg(coalesce(sum($"count"), lit(0L)), coalesce(max($"lastDoc"), lit(-1)),
-        count(lit(1))).collect()(0)
-    val sig = s"${sigRow.getLong(0)}:${sigRow.get(1)}:${sigRow.getLong(2)}:$maxLen:$minDf"
-    val metaP = new org.apache.hadoop.fs.Path(s"$indexDir/prefix_meta")
-    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaP) &&
-        spark.read.parquet(s"$indexDir/prefix_meta").as[String].collect()
-          .headOption.contains(sig)) return
+    // staleness fingerprint from the postings FILE LISTING, not an
+    // aggregation over the block metadata: same trigger surface (any
+    // append/compact rewrites posting files), but the check is pure
+    // driver-side FS listing — the previous agg sig cost a Spark job +
+    // a prefix_meta read per call even when nothing changed
+    val sig = dirFingerprint(spark, Seq(s"$indexDir/postings")) +
+      s":$maxLen:$minDf"
+    if (readMarker(spark, s"$indexDir/prefix_meta/$FprFile").contains(sig)) return
 
     spark.read.parquet(s"$indexDir/dict")
       .select($"term", $"df").as[(String, Long)]
@@ -1254,8 +1309,8 @@ object IndexBuild {
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/prefix_positions")
     }
-    Seq(sig).toDF("sig").repartition(1)
-      .write.mode("overwrite").parquet(s"$indexDir/prefix_meta")
+    // marker LAST (killed rebuild re-runs); plain file, no Spark job
+    writeMarker(spark, s"$indexDir/prefix_meta/$FprFile", sig)
   }
 
   /** Reference thresholds (index.rs:1711-1713). */

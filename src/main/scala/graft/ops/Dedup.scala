@@ -25,14 +25,19 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
-  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  /** Distinct word n-gram shingles per doc: (id, shingle). Uniqueness
+    * of (id, shingle) is a PER-DOCUMENT property (ids are a primary
+    * key), so the dedup is `array_distinct` on the doc-local shingle
+    * array BEFORE the explode — a narrow codegen'd expression — not a
+    * global `.distinct()`, which shuffled the entire exploded shingle
+    * stream once per consumer (jaccard evaluates this subtree three
+    * times; guide §2.4: remove shuffles outright). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokensCol(col(textCol))
     Par.widen(df).where(size(toks) >= n)
       .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
-      .distinct()
+        explode(array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
   }
 
   /** Pairwise n-gram Jaccard similarity >= minJ. Candidate pairs come
@@ -129,14 +134,18 @@ object Dedup {
     * bit), weighted by term frequency (Charikar '02, reduced width so
     * the external oracle stays expressible). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one aggregation, not two: the tf-weighted vote Σ_terms tf·(±1)
+    // equals Σ_occurrences (±1) — an associative integer sum — so the
+    // per-(id, term) tf pre-aggregation (a full extra shuffle of the
+    // token stream) is unnecessary; the single groupBy(id) is map-side
+    // combinable down to one 16-column row per id per map task
     val tok = Par.widen(df).select(col(idCol).as("id"),
         explode(tokensCol(col(textCol))).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("term")))
     val bitSums = (0 until 16).map { j =>
       sum(when(substring(col("h"), j + 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), col("tf"))
-        .otherwise(-col("tf"))).as(s"s$j")
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1L))
+        .otherwise(lit(-1L))).as(s"s$j")
     }
     val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 16).map(j =>
@@ -153,16 +162,16 @@ object Dedup {
     * tf-weighted. Same single map-side-combinable aggregation shape;
     * an independent fingerprint, not a widening of simhash16. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // single-shuffle shape, same reasoning as [[simhash16]]
     val tok = Par.widen(df).select(col(idCol).as("id"),
         explode(tokensCol(col(textCol))).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("_d", md5(col("term")))
       .withColumn("_h1", conv(substring(col("_d"), 1, 8), 16, 10).cast("long"))
       .withColumn("_h2", conv(substring(col("_d"), 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { j =>
       val half = if (j < 32) col("_h1") else col("_h2")
-      sum(when(shiftrightunsigned(half, j % 32).bitwiseAND(lit(1L)) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$j")
+      sum(when(shiftrightunsigned(half, j % 32).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$j")
     }
     val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map(j =>

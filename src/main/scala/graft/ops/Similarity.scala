@@ -146,19 +146,33 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         normFx(vecCol).as("nn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/rows")
-    // byid/: (id, bucket) range-sorted by id — the corpus-id query path
-    // resolves id -> bucket through parquet row-group min/max pruning
-    // and then fetches the query row from ONE bucket partition, so
-    // neither lookup scans the index (a full rows/ scan per query was
-    // the one O(N) wart of the id path)
-    spark.read.parquet(s"$dir/rows").select(col("id"), col("bucket"))
+    // byid/: (id, bucket, vec, nn) range-sorted by id — the corpus-id
+    // query path resolves the WHOLE query row (bucket + vector + norm)
+    // through parquet row-group min/max pruning in ONE pruned scan (the
+    // previous (id, bucket)-only layout needed a second fetch from the
+    // bucket partition — one extra driver round trip per query); no
+    // lookup ever scans the index
+    spark.read.parquet(s"$dir/rows")
+      .select(col("id"), col("bucket"), col("vec"), col("nn"))
       .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism / 4),
         col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$dir/byid")
     Seq((nPlanes, d, seed)).toDF("nPlanes", "dim", "seed")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    metaCache.remove(dir): Unit
   }
+
+  /** Per-dir cache of the immutable meta row (nPlanes, dim, seed) —
+    * algorithm parameters written once by [[buildLshIndex]]; re-reading
+    * them is one Spark job per query. Invalidated on rebuild. */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Long)]
+  private def lshMeta(spark: SparkSession, dir: String): (Int, Int, Long) =
+    metaCache.getOrElseUpdate(dir, {
+      val m = spark.read.parquet(s"$dir/meta").collect()(0)
+      (m.getInt(0), m.getInt(1), m.getLong(2))
+    })
 
   /** One hyperplane-LSH bucket as a self-contained Column (planes
     * inlined as literals — no helper columns, so independent bands can
@@ -312,20 +326,24 @@ object Similarity {
     val hasByid =
       byidP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(byidP)
     // partition discovery re-infers the bucket column as INT: cast back
-    val q =
-      if (hasByid) {
-        // id -> bucket through the range-sorted byid table (row-group
-        // min/max pruning on id), then the query row from ONE pruned
-        // bucket partition — no full rows/ scan anywhere
-        val b = spark.read.parquet(s"$dir/byid")
-          .where(col("id") === queryId)
+    val byid = if (hasByid) Some(spark.read.parquet(s"$dir/byid")) else None
+    val q = byid match {
+      case Some(bi) if bi.columns.contains("vec") =>
+        // the whole query row (bucket, vec, nn) from the range-sorted
+        // byid table in ONE row-group-pruned scan
+        bi.where(col("id") === queryId)
+          .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
+      case Some(bi) =>
+        // older (id, bucket)-only byid layout: two-step pruned fetch
+        val b = bi.where(col("id") === queryId)
           .select(col("bucket").cast("long")).collect()(0).getLong(0)
         rows.where(col("bucket") === b && col("id") === queryId)
           .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
-      } else // pre-byid index layout: the one remaining full-scan fetch
+      case None => // pre-byid index layout: the one remaining full-scan fetch
         rows.where(col("id") === queryId)
           .select(col("bucket").cast("long"), col("vec"), col("nn")).collect()(0)
-    val nPlanes = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    }
+    val nPlanes = lshMeta(spark, dir)._1
     lshProbedTopK(spark, dir, nPlanes, q.getLong(0),
       q.getSeq[Float](1).toArray, q.getLong(2), k, probeHamming, None)
   }
@@ -340,8 +358,7 @@ object Similarity {
   def lshIndexTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
                    k: Int, probeHamming: Int,
                    universe: Option[DataFrame]): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    val (nPlanes, dim, seed) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    val (nPlanes, dim, seed) = lshMeta(spark, dir)
     require(queryVec.length == dim,
       s"query vector dim ${queryVec.length} != index dim $dim")
     lshProbedTopK(spark, dir, nPlanes, bucketOfVector(queryVec, nPlanes, seed),

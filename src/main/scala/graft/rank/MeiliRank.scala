@@ -258,24 +258,25 @@ final class MeiliRank(engine: SearchEngine,
       Some(all -- typo.exactFids)
     }
 
-  /** (docId, slot, typoCost, exact) rows: min-cost derivation per slot
-    * per doc, from one bucket-pruned postings scan. With `fids` set
-    * (attributesToSearchOn), matches come from the fid-restricted
-    * positions table instead of the field-agnostic postings (reference
-    * restricted_fids routes word lookups to word_fid_docids,
-    * search/new/mod.rs:115-170). With typo.exactFids set, derivations
-    * costing > 0 route through the SAME fid-restricted path minus the
-    * typo-disabled fids (reference db_cache.rs:183-205). */
-  private def slotMatches(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
+  /** UN-AGGREGATED (docId, slot, cost, exact) match rows — one row per
+    * (derivation, doc) occurrence, possibly several per (doc, slot).
+    * The per-slot min-cost/max-exact reduction happens inside the ONE
+    * per-doc aggregation of [[matchedInternal]] (array expressions over
+    * the collected rows), so the cascade pays a single exchange instead
+    * of the previous three (two (docId, slot) pre-aggregations plus the
+    * separate positions aggregation joined back on docId — guide §2.4:
+    * operations keyed the same way share one shuffle).
+    *
+    * With `fids` set (attributesToSearchOn), matches come from the
+    * fid-restricted positions table instead of the field-agnostic
+    * postings (reference restricted_fids routes word lookups to
+    * word_fid_docids, search/new/mod.rs:115-170). With typo.exactFids
+    * set, derivations costing > 0 route through the SAME fid-restricted
+    * path minus the typo-disabled fids (reference db_cache.rs:183-205). */
+  private def slotMatchRows(slots: Seq[Slot], fids: Option[Set[Int]]): DataFrame = {
     val derivRows = slots.flatMap(s => s.derivations.map { case (t, c) =>
       (t, s.idx, c, if (t == s.original) 1 else 0)
     })
-    val empty = spark.range(0)
-      .select($"id".cast("int").as("docId"), lit(0).as("slot"),
-        lit(0).as("typoCost"), lit(0).as("exact"))
-    if (derivRows.isEmpty &&
-        slots.forall(s => s.phraseDerivs.isEmpty && s.prefixDerivs.isEmpty))
-      return empty
     // under exactFids, typo-derived rows (cost > 0) resolve against the
     // reduced fid set; everything else keeps the caller's restriction
     val (typoRows, plainRows) =
@@ -296,13 +297,8 @@ final class MeiliRank(engine: SearchEngine,
             engine.decoded(qts).toDF().select($"term", $"docId")
         }
         occurrences.join(broadcast(dt), Seq("term"))
-          .select($"docId", $"slot", $"cost", $"isExact")
+          .select($"docId", $"slot", $"cost", $"isExact".as("exact"))
       }
-    val direct =
-      (occurrencesOf(plainRows, fids) ++ occurrencesOf(typoRows, typoFids(fids)))
-        .reduceOption(_ unionByName _)
-        .fold(empty)(_.groupBy($"docId", $"slot")
-          .agg(min($"cost").as("typoCost"), max($"isExact").as("exact")))
     // phrase derivations (split words, multi-word synonyms): the slot
     // matches where the words occur adjacently; never exact. Splits
     // cost 1 (a typo-class derivation) — under exactFids they match in
@@ -310,7 +306,7 @@ final class MeiliRank(engine: SearchEngine,
     val phraseDfs = slots.flatMap(s => s.phraseDerivs.map { case (ws, cost) =>
       engine.phrase(ws, if (cost > 0) typoFids(fids) else fids)
         .select($"docId", lit(s.idx).as("slot"),
-          lit(cost).as("typoCost"), lit(0).as("exact"))
+          lit(cost).as("cost"), lit(0).as("exact"))
     })
     // precomputed-prefix derivations: merged docids via one pseudo-term
     // read (cost 0, never exact — the exact form, if a dictionary word,
@@ -321,11 +317,14 @@ final class MeiliRank(engine: SearchEngine,
         case None => engine.prefixDocs(p).select($"docId")
       }
       docs.select($"docId", lit(s.idx).as("slot"),
-        lit(0).as("typoCost"), lit(0).as("exact"))
+        lit(0).as("cost"), lit(0).as("exact"))
     })
-    (phraseDfs ++ prefixDfs).foldLeft(direct)((acc, d) => acc.unionByName(d))
-      .groupBy($"docId", $"slot")
-      .agg(min($"typoCost").as("typoCost"), max($"exact").as("exact"))
+    val empty = spark.range(0)
+      .select($"id".cast("int").as("docId"), lit(0).as("slot"),
+        lit(0).as("cost"), lit(0).as("exact"))
+    (occurrencesOf(plainRows, fids) ++ occurrencesOf(typoRows, typoFids(fids)) ++
+      phraseDfs ++ prefixDfs)
+      .reduceOption(_ unionByName _).getOrElse(empty)
   }
 
   /** (docId, slot, pos) exploded positions for all derivations (phrase
@@ -358,12 +357,23 @@ final class MeiliRank(engine: SearchEngine,
   }
 
   /** The words-rule matched universe: (slots, keep-order permutation,
-    * perDoc rows `docId, sl, wordsRank, typoCost, exactWords`) — the
+    * perDoc rows `docId, wordsRank, typoCost, exactWords` — plus `sp`,
+    * the per-doc (slot, pos) array, when `withPositions`) — the
     * candidate set the cascade ranks. Slots empty / derivation-free →
-    * empty perDoc. */
+    * empty perDoc.
+    *
+    * ONE exchange for the whole candidate computation: match rows and
+    * (optionally) position rows union into a single tagged stream that
+    * ONE groupBy(docId) collects; per-slot minima/maxima and the words
+    * rank are array expressions over the collected rows inside
+    * whole-stage codegen. The previous shape paid two (docId, slot)
+    * pre-aggregations, a (docId) aggregation, a separate (docId)
+    * positions aggregation and a join of the two — four exchanges over
+    * rows all keyed by docId (guide §2.4). */
   private def matchedInternal(pq: ParsedQuery, lastIsPrefix: Boolean,
                               strategy: TermsMatching,
-                              searchOnFids: Option[Set[Int]])
+                              searchOnFids: Option[Set[Int]],
+                              withPositions: Boolean)
       : (Seq[Slot], Array[Int], DataFrame) = {
     val slots = analyzeParsed(pq, lastIsPrefix)
     val n = slots.length
@@ -387,31 +397,52 @@ final class MeiliRank(engine: SearchEngine,
     }
     val kposMap = typedLit(kposArr.zipWithIndex.map { case (kp, slot) => slot -> kp }.toMap)
 
-    val matches0 = slotMatches(slots, searchOnFids)
+    val mRows = slotMatchRows(slots, searchOnFids)
+      .withColumn("pos", lit(null).cast("int"))
+    val rows0 =
+      if (!withPositions) mRows
+      else mRows.unionByName(
+        slotPositions(slots, searchOnFids)
+          .select($"docId", $"slot", lit(null).cast("int").as("cost"),
+            lit(null).cast("int").as("exact"), $"pos"))
     // quoted phrases / negatives restrict the universe (docId level),
     // under the SAME field restriction as slot matching
     val (phraseDocs, negDocs) = engine.syntaxDocs(pq, searchOnFids)
-    val matches1 = phraseDocs.fold(matches0)(p =>
-      matches0.join(p.select($"docId"), Seq("docId"), "left_semi"))
-    val matches = negDocs.fold(matches1)(nd =>
-      matches1.join(nd, Seq("docId"), "left_anti"))
+    val rows1 = phraseDocs.fold(rows0)(p =>
+      rows0.join(p.select($"docId"), Seq("docId"), "left_semi"))
+    val rows = negDocs.fold(rows1)(nd =>
+      rows1.join(nd, Seq("docId"), "left_anti"))
 
-    // words rank: longest fully-matched prefix in keep order
-    val slotsArr = sort_array(collect_list(struct($"kpos", $"typoCost", $"exact")))
-    val perDoc0 = matches
+    // collect_list skips null entries, so the two row families split
+    // back apart inside the single aggregation
+    val aggCols =
+      collect_list(when($"pos".isNull,
+        struct($"kpos", $"cost", $"exact"))).as("m") +:
+      (if (withPositions)
+        Seq(collect_list(when($"pos".isNotNull,
+          struct($"slot", $"pos"))).as("sp"))
+      else Nil)
+    def perKpos(i: Int, f: Column => Column): Column =
+      f(filter($"m", x => x.getField("kpos") === i))
+    // words rank: longest fully-matched prefix in keep order; typo /
+    // exactness: per-slot min cost / max exact of the kept prefix
+    val perDoc0 = rows
       .withColumn("kpos", element_at(kposMap, $"slot"))
-      .groupBy($"docId").agg(slotsArr.as("sl"))
+      .groupBy($"docId").agg(aggCols.head, aggCols.tail: _*)
       .withColumn("wordsRank",
         aggregate(sequence(lit(0), lit(n - 1)), lit(0),
           (acc, i) => when(acc === i &&
-            exists($"sl", x => x.getField("kpos") === i), acc + 1).otherwise(acc)))
+            exists($"m", x => x.getField("kpos") === i), acc + 1).otherwise(acc)))
       .filter($"wordsRank" >= 1)
       .withColumn("typoCost",
-        aggregate(filter($"sl", x => x.getField("kpos") < $"wordsRank"),
-          lit(0), (acc, x) => acc + x.getField("typoCost")))
+        (0 until n).map(i => when(lit(i) < $"wordsRank",
+          coalesce(perKpos(i, a => array_min(transform(a, _.getField("cost")))),
+            lit(0))).otherwise(lit(0))).reduce(_ + _))
       .withColumn("exactWords",
-        aggregate(filter($"sl", x => x.getField("kpos") < $"wordsRank"),
-          lit(0), (acc, x) => acc + x.getField("exact")))
+        (0 until n).map(i => when(lit(i) < $"wordsRank",
+          coalesce(perKpos(i, a => array_max(transform(a, _.getField("exact")))),
+            lit(0))).otherwise(lit(0))).reduce(_ + _))
+      .drop("m")
     val perDoc = strategy match {
       case TermsMatching.All => perDoc0.filter($"wordsRank" === n)
       case _ => perDoc0
@@ -427,7 +458,8 @@ final class MeiliRank(engine: SearchEngine,
                   strategy: TermsMatching = TermsMatching.Last,
                   searchOnFids: Option[Set[Int]] = None,
                   lastIsPrefix: Boolean = false): DataFrame =
-    matchedInternal(engine.parseQuery(q), lastIsPrefix, strategy, searchOnFids)
+    matchedInternal(engine.parseQuery(q), lastIsPrefix, strategy, searchOnFids,
+        withPositions = false)
       ._3.select($"docId")
 
   /** Ranked search: returns (docId, wordsRank, typoCost, proxCost,
@@ -488,7 +520,10 @@ final class MeiliRank(engine: SearchEngine,
         val ids = rows.map(_.getInt(idIdx)).toSeq
         val topDf = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), top.schema)
-        topDf.join(metaSrc.filter($"docId".isin(ids: _*)), Seq("docId"))
+        // broadcast the ≤ k-row LOCAL side: it ships without a Spark
+        // job, so materialization costs one job (the pruned doc scan),
+        // not a broadcast-build job + a probe job
+        broadcast(topDf).join(metaSrc.filter($"docId".isin(ids: _*)), Seq("docId"))
       case None => filtered.join(metaSrc, Seq("docId"))
     }
     val cols = Seq($"docId", $"wordsRank", $"typoCost", $"proxCost",
@@ -517,28 +552,25 @@ final class MeiliRank(engine: SearchEngine,
              locales: Seq[String] = Nil)
       : (DataFrame, Seq[Column], Int) = {
     val pq = engine.parseQuery(q, locales)
+    // ---- ONE exchange for the whole cascade ----------------------------
+    // Match rows AND position rows ride a single union into ONE
+    // groupBy(docId) (matchedInternal): the positions table is scanned
+    // once per query (bucket-pruned), and the proximity pairs + the
+    // attribute rule (fid + position sub-ranks, reference Attribute →
+    // Fid then Position, search/new/mod.rs:426-533) all derive from the
+    // per-doc `sp` array that aggregation collects. Positions carry the
+    // fid in the high 16 bits for multi-field indexes (lib.rs:201-208);
+    // the per-slot minima and the adjacent-pair distance minima are
+    // higher-order array expressions over the per-doc list — the same
+    // |A_i|x|A_{i+1}| work a positions self-join would materialize as
+    // rows, computed in-register inside whole-stage codegen with no
+    // extra shuffle or join.
     val (slots, kposArr, perDoc) =
-      matchedInternal(pq, lastIsPrefix, strategy, searchOnFids)
+      matchedInternal(pq, lastIsPrefix, strategy, searchOnFids,
+        withPositions = true)
     val n = slots.length
     if (n == 0)
       return (spark.range(0).select($"id".cast("int").as("docId")), Nil, 0)
-
-    // ---- ONE positions scan for the whole cascade ----------------------
-    // The proximity pairs AND the attribute rule (fid + position
-    // sub-ranks, reference Attribute → Fid then Position,
-    // search/new/mod.rs:426-533) all derive from a single
-    // (docId -> [(slot, pos)]) aggregation: the positions table is
-    // scanned ONCE per query (bucket-pruned), where the previous shape
-    // scanned it three times (both proximity self-join sides + the
-    // position rank). Positions carry the fid in the high 16 bits for
-    // multi-field indexes (lib.rs:201-208); the per-slot minima and the
-    // adjacent-pair distance minima are higher-order array expressions
-    // over the per-doc list — the same |A_i|x|A_{i+1}| work the self-
-    // join materialized as rows, now computed in-register inside
-    // whole-stage codegen with no extra shuffle.
-    val pos = slotPositions(slots, searchOnFids)
-    val posAgg = pos.groupBy($"docId")
-      .agg(collect_list(struct($"slot", $"pos")).as("sp"))
     val fws = engine.fieldWeights
     val wMax = if (fws.isEmpty) 0 else fws.values.max
     def slotArr(i: Int): Column = filter($"sp", x => x.getField("slot") === i)
@@ -582,7 +614,7 @@ final class MeiliRank(engine: SearchEngine,
         when(lit(kposArr(i)) < $"wordsRank",
           coalesce(minW, lit(wMax))).otherwise(lit(0))
       }.reduce(_ + _)
-    val withPos = perDoc.join(posAgg, Seq("docId"), "left")
+    val withPos = perDoc
       .withColumn("proxCost", proxSum)
       .withColumn("fidCost", fidSum)
       .withColumn("posCost", posSum)

@@ -763,7 +763,9 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     val ids = rows.map(_.getInt(0)).toSeq
     val topDf = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), top.schema)
-    topDf.join(docsRaw.filter($"docId".isin(ids: _*)), Seq("docId"))
+    // broadcast the ≤ k-row LOCAL side (no broadcast-build job; see
+    // MeiliRank.search's materialization note)
+    broadcast(topDf).join(docsRaw.filter($"docId".isin(ids: _*)), Seq("docId"))
       .select($"docId", $"score", $"repo", $"path", $"commit", $"lang")
       .orderBy($"score".desc, $"docId".asc)
   }

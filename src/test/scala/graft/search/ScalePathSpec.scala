@@ -267,10 +267,19 @@ class ScalePathSpec extends AnyFunSuite {
       .flatMap(t => after.decoded(after.termsOf(Seq(t))).collect().map(_.docId)).toSet
     assert(got == want, s"stale prefix table: ${want -- got} missing")
     assert(got.size > beforeDocs, "appended docs must join the merged list")
-    // unchanged postings -> rebuild is a no-op (fingerprint match)
-    val metaBefore = spark.read.parquet(s"$dir/prefix_meta").inputFiles.toSeq
+    // unchanged postings -> rebuild is a no-op (fingerprint match):
+    // neither the marker nor the prefix tables are rewritten
+    def mtimes(sub: String): Seq[(String, Long)] = {
+      val pth = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(pth, true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.getName, f.getModificationTime)) }
+      b.result().sortBy(_._1)
+    }
+    val metaBefore = (mtimes("prefix_meta"), mtimes("prefixes"))
     IndexBuild.buildPrefixIndex(spark, dir, cfg, minDf = 5)
-    assert(spark.read.parquet(s"$dir/prefix_meta").inputFiles.toSeq == metaBefore,
+    assert((mtimes("prefix_meta"), mtimes("prefixes")) == metaBefore,
       "same-fingerprint rerun must not rewrite")
   }
 
