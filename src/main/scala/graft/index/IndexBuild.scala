@@ -262,6 +262,12 @@ object IndexBuild {
       private final class Buf {
         val keys = new ArrayBuffer[Long](4)
         val pos = new ArrayBuffer[Array[Int]](4)
+        /** buffered ints this buffer holds (keys + position elements) —
+          * the unit the flush budget charges, so the stated ~16 MB
+          * bound covers the POSITION ARRAYS too (a position-heavy
+          * corpus would otherwise buffer `flushEntries` docs' worth of
+          * arrays, far past the documented envelope). */
+        var units = 0
       }
       private val bufs = new scala.collection.mutable.AnyRefMap[String, Buf]
       private var entries = 0
@@ -305,12 +311,14 @@ object IndexBuild {
             if (b.keys.nonEmpty &&
                 keyDoc(b.keys(b.keys.length - 1)) / docsPerShard != d / docsPerShard) {
               ready += chunkOf(t, b)
-              entries -= b.keys.length
-              b.keys.clear(); b.pos.clear()
+              entries -= b.units
+              b.keys.clear(); b.pos.clear(); b.units = 0
             }
             b.keys += packKey(d, tf)
             b.pos += ps
-            entries += 1
+            // charge keys AND position ints against the budget
+            b.units += ps.length + 1
+            entries += ps.length + 1
           }
           if (!rows.hasNext || entries >= flushEntries) {
             bufs.foreach { case (t, b) => if (b.keys.nonEmpty) ready += chunkOf(t, b) }
@@ -1354,7 +1362,11 @@ object IndexBuild {
     Seq(("N", n.toDouble), ("avgdl", avgdl), ("k1", BM25.K1), ("b", BM25.B),
       ("docsPerShard", cfg.docsPerShard.toDouble),
       ("termBuckets", cfg.termBuckets.toDouble),
-      ("blockSize", cfg.blockSize.toDouble))
+      ("blockSize", cfg.blockSize.toDouble),
+      // pin the normalizer folds the stored terms went through — the
+      // engine fails fast on a version mismatch instead of silently
+      // missing affected words (Tokenizer.NormalizerVersion)
+      ("normalizerVersion", Tokenizer.NormalizerVersion.toDouble))
       .toDF("key", "value")
       .repartition(1).write.mode("overwrite").parquet(s"$indexDir/stats")
     // persist the tokenizer settings (same contract as stop words: the

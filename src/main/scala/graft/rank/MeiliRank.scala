@@ -504,7 +504,8 @@ final class MeiliRank(engine: SearchEngine,
           .partitionBy(col(dcol)).orderBy(sortCols: _*)
         filtered.join(metaSrc, Seq("docId"))
           .withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
-      case None if docSortCols.forall(universeCols.contains) =>
+      case None if docSortCols.forall(universeCols.contains) &&
+          k <= MeiliRank.MaxEagerTopK =>
         // Every sort key lives in the scored universe → take the top-k
         // FIRST (the cascade runs once, k is page-sized), then fetch
         // metadata for exactly those docids with an IN predicate the
@@ -524,7 +525,10 @@ final class MeiliRank(engine: SearchEngine,
         // job, so materialization costs one job (the pruned doc scan),
         // not a broadcast-build job + a probe job
         broadcast(topDf).join(metaSrc.filter($"docId".isin(ids: _*)), Seq("docId"))
-      case None => filtered.join(metaSrc, Seq("docId"))
+      case None =>
+        // k above the eager ceiling (or doc-attribute sort keys): lazy
+        // join shape — no driver collect, no O(k) isin literal
+        filtered.join(metaSrc, Seq("docId"))
     }
     val cols = Seq($"docId", $"wordsRank", $"typoCost", $"proxCost",
       $"fidCost", $"posCost", $"exactAttr", $"exactWords", $"rankingScore",
@@ -749,6 +753,14 @@ object MeiliRank {
   /** Default rule order (reference criterion.rs:12-40 / default_criteria). */
   val DefaultRules: Seq[String] =
     Seq("words", "typo", "proximity", "attribute", "sort", "exactness")
+
+  /** Ceiling on [[MeiliRank.search]]'s EAGER top-k materialization
+    * (driver collect + docId IN-literal pruned lookup): k is a page
+    * size by contract (the api facade caps it at maxTotalHits = 1000),
+    * and a direct library caller passing a huge k must not pull that
+    * many rows into driver memory — above the ceiling the
+    * materialization falls back to the lazy metadata join. */
+  final val MaxEagerTopK: Int = 10000
 
   /** `field:asc` / `field:desc` custom ranking rule (criterion.rs
     * Criterion::Asc/Desc). */

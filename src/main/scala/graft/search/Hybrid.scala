@@ -58,6 +58,57 @@ object Hybrid {
     * re-reading every vector is the 100-TB anti-pattern. */
   final val SemanticExactMaxRows: Long = 200000L
 
+  /** ONE cost router for both semantic-arm key shapes (corpus id /
+    * external vector) — the routing, the plan-statistics screen and the
+    * bounded-count confirm exist exactly once (a duplicated copy of
+    * this logic, Int.MaxValue-overflow guard included, previously lived
+    * in each overload). */
+  private def routedSemantic(emb: DataFrame, idCol: String, vecCol: String,
+                             query: Either[Long, Array[Float]], pool: Int,
+                             indexDir: Option[String],
+                             exactMaxRows: Long): DataFrame = {
+    // routing from plan STATISTICS (free — no per-query count() job;
+    // parquet sources report exact byte sizes): 512 B/row is a generous
+    // per-embedding-row estimate, so the exact path persists slightly
+    // past the cap rather than LSH kicking in early
+    def estRows: BigInt =
+      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
+    val useLsh = indexDir.isDefined &&
+      (exactMaxRows <= 0 || estRows > exactMaxRows)
+    if (useLsh) {
+      val lsh = query match {
+        case Left(id) =>
+          graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get, id, pool)
+        case Right(vec) =>
+          graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get,
+            vec, pool, 2, None)
+      }
+      lsh.select(col("vec_id").cast("int").as("docId"), col("score"))
+    } else {
+      // loud guard against the scale anti-pattern when NO index exists.
+      // Catalyst size estimates for derived/joined embedding frames can
+      // be off by orders of magnitude in either direction, so the plan-
+      // statistics estimate is only the screen: when it trips, confirm
+      // with a BOUNDED count (limit cap+1 — never a full scan) before
+      // failing, so a mis-estimated small frame still runs exact.
+      // A cap at or beyond Int.MaxValue can't be confirmed with a
+      // bounded limit (and +1 would overflow) — such a cap is
+      // effectively "no guard", so skip the confirm
+      if (indexDir.isEmpty && exactMaxRows > 0 &&
+          exactMaxRows < Int.MaxValue &&
+          emb.queryExecution.optimizedPlan.stats.sizeInBytes >
+            BigInt(exactMaxRows) * 512)
+        require(emb.limit(exactMaxRows.toInt + 1).count() <= exactMaxRows,
+          s"embedding table exceeds $exactMaxRows rows and no LSH " +
+            "index was given: build one with Similarity.buildLshIndex")
+      val exact = query match {
+        case Left(id) => graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, id, pool)
+        case Right(vec) => graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, vec, pool)
+      }
+      exact.select(col(idCol).cast("int").as("docId"), col("score"))
+    }
+  }
+
   /** The semantic arm, cost-routed like `SearchEngine.search` routes to
     * WAND: below `exactMaxRows` (or with no index built) the exact
     * brute-force cosine is the right plan AND the oracle baseline;
@@ -68,39 +119,9 @@ object Hybrid {
   def semanticTopK(emb: DataFrame, idCol: String, vecCol: String,
                    queryVecId: Long, pool: Int,
                    indexDir: Option[String] = None,
-                   exactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
-    // routing from plan STATISTICS (free — no per-query count() job;
-    // parquet sources report exact byte sizes): 512 B/row is a generous
-    // per-embedding-row estimate, so the exact path persists slightly
-    // past the cap rather than LSH kicking in early
-    def estRows: BigInt =
-      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
-    val useLsh = indexDir.isDefined &&
-      (exactMaxRows <= 0 || estRows > exactMaxRows)
-    if (useLsh)
-      graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get, queryVecId, pool)
-        .select(col("vec_id").cast("int").as("docId"), col("score"))
-    else {
-      // loud guard against the scale anti-pattern when NO index exists.
-      // Catalyst size estimates for derived/joined embedding frames can
-      // be off by orders of magnitude in either direction, so the plan-
-      // statistics estimate is only the screen: when it trips, confirm
-      // with a BOUNDED count (limit cap+1 — never a full scan) before
-      // failing, so a mis-estimated small frame still runs exact
-      // a cap at or beyond Int.MaxValue can't be confirmed with a
-      // bounded limit (and +1 would overflow) — such a cap is
-      // effectively "no guard", so skip the confirm
-      if (indexDir.isEmpty && exactMaxRows > 0 &&
-          exactMaxRows < Int.MaxValue &&
-          emb.queryExecution.optimizedPlan.stats.sizeInBytes >
-            BigInt(exactMaxRows) * 512)
-        require(emb.limit(exactMaxRows.toInt + 1).count() <= exactMaxRows,
-          s"embedding table exceeds $exactMaxRows rows and no LSH " +
-            "index was given: build one with Similarity.buildLshIndex")
-      graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVecId, pool)
-        .select(col(idCol).cast("int").as("docId"), col("score"))
-    }
-  }
+                   exactMaxRows: Long = SemanticExactMaxRows): DataFrame =
+    routedSemantic(emb, idCol, vecCol, Left(queryVecId), pool, indexDir,
+      exactMaxRows)
 
   /** End-to-end: rank `q` with the rule cascade, score embeddings by
     * cosine against `queryVecId`'s embedding (via [[semanticTopK]]'s
@@ -142,27 +163,9 @@ object Hybrid {
   def semanticTopKVec(emb: DataFrame, idCol: String, vecCol: String,
                       queryVec: Array[Float], pool: Int,
                       indexDir: Option[String] = None,
-                      exactMaxRows: Long = SemanticExactMaxRows): DataFrame = {
-    def estRows: BigInt =
-      emb.queryExecution.optimizedPlan.stats.sizeInBytes / 512
-    val useLsh = indexDir.isDefined &&
-      (exactMaxRows <= 0 || estRows > exactMaxRows)
-    if (useLsh)
-      graft.ops.Similarity.lshIndexTopK(emb.sparkSession, indexDir.get,
-          queryVec, pool, 2, None)
-        .select(col("vec_id").cast("int").as("docId"), col("score"))
-    else {
-      if (indexDir.isEmpty && exactMaxRows > 0 &&
-          exactMaxRows < Int.MaxValue &&
-          emb.queryExecution.optimizedPlan.stats.sizeInBytes >
-            BigInt(exactMaxRows) * 512)
-        require(emb.limit(exactMaxRows.toInt + 1).count() <= exactMaxRows,
-          s"embedding table exceeds $exactMaxRows rows and no LSH " +
-            "index was given: build one with Similarity.buildLshIndex")
-      graft.ops.Similarity.cosineTopK(emb, idCol, vecCol, queryVec, pool)
-        .select(col(idCol).cast("int").as("docId"), col("score"))
-    }
-  }
+                      exactMaxRows: Long = SemanticExactMaxRows): DataFrame =
+    routedSemantic(emb, idCol, vecCol, Right(queryVec), pool, indexDir,
+      exactMaxRows)
 
   /** [[search]] with an external query vector: the production hybrid
     * entry point — the keyword arm ranks `q`, the semantic arm scores

@@ -61,6 +61,16 @@ final class SearchEngine(val spark: SparkSession, val indexDir: String,
     spark.read.parquet(s"$indexDir/stats").as[(String, Double)].collect().toMap
   val nDocs: Long = stats("N").toLong
   val avgdl: Double = stats("avgdl")
+  // normalizer-fold version pinning: an index whose terms were folded
+  // by a different normalize() would silently return zero hits for
+  // affected words — fail fast with the remedy instead. Indexes
+  // without the key predate the check and were built under the current
+  // folds (see Tokenizer.NormalizerVersion).
+  stats.get("normalizerVersion").foreach(v =>
+    require(v.toInt == Tokenizer.NormalizerVersion,
+      s"index at $indexDir was built with normalizer version ${v.toInt} " +
+        s"but this engine folds with version ${Tokenizer.NormalizerVersion}: " +
+        "rebuild the index (terms on disk no longer match query-side folding)"))
   val termBuckets: Int = stats("termBuckets").toInt
   val docsPerShard: Int = stats("docsPerShard").toInt
 

@@ -308,4 +308,39 @@ class MeiliRankSpec extends AnyFunSuite {
       .select($"docId").collect().map(_.getInt(0)).toSeq
     assert(df.select($"docId").collect().map(_.getInt(0)).toSeq == viaJoin)
   }
+
+  test("k above MaxEagerTopK falls back to the lazy join shape, same ordering") {
+    val lazyDf = mr.search("quick brown", MeiliRank.MaxEagerTopK + 1)
+    // no driver collect happened: the returned plan still CONTAINS the
+    // cascade aggregation (the eager path pre-collects the top rows, so
+    // its returned plan is just local rows ⋈ pruned docs)
+    val plan = lazyDf.queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"),
+      s"above the ceiling the cascade must stay in the returned plan:\n$plan")
+    val eager = mr.search("quick brown", 5).select($"docId")
+      .collect().map(_.getInt(0)).toSeq
+    val viaLazy = lazyDf.select($"docId").collect().map(_.getInt(0)).toSeq
+    assert(viaLazy.take(5) == eager)
+  }
+
+  test("normalizer version mismatch fails fast at engine load") {
+    val dir = Files.createTempDirectory("normver").toString
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    IndexBuild.buildFromTable(spark, df, "doc_id", "text", "lang", "source",
+      dir, IndexConfig(docsPerShard = 4, termBuckets = 2, blockSize = 4,
+        numPartitions = 2))
+    // the build pinned the current version; a matching engine loads
+    new SearchEngine(spark, dir)
+    // rewrite the pin to a bogus future version -> load must fail fast
+    val st = spark.read.parquet(s"$dir/stats").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .map { case ("normalizerVersion", _) => ("normalizerVersion", 999.0)
+             case kv => kv }.toSeq
+    st.toDF("key", "value").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val e = intercept[IllegalArgumentException](new SearchEngine(spark, dir))
+    assert(e.getMessage.contains("normalizer version"))
+  }
 }
