@@ -76,6 +76,12 @@ object Dedup {
         .select(col("shingle"))
       sh0.join(hot, Seq("shingle"), "left_anti")
     }
+    // plan-shape note (measured, plans/r06): the self-join's two sides
+    // already share ONE exchange via ReuseExchange (identical subtrees),
+    // and `sizes` prunes to an id-only shuffle with map-side partial
+    // counts — an explicit repartition("shingle") was tried and REVERTED:
+    // it added an exchange without enabling any further reuse (sizes'
+    // exchange is keyed and pruned differently, so it can never share)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.withColumnRenamed("id", "a")
     val b = sh.withColumnRenamed("id", "b")

@@ -289,7 +289,10 @@ final class MeiliRank(engine: SearchEngine,
         val terms = rows.map(_._1).distinct
         val occurrences = f match {
           case Some(_) =>
-            engine.positionRows(terms, f).select($"term", $"docId").distinct()
+            // NO distinct: one row per position occurrence is fine —
+            // the per-doc min/max aggregation dedups per slot anyway,
+            // and the distinct was a whole extra exchange
+            engine.positionRows(terms, f).select($"term", $"docId")
           case None =>
             // df=0: only term+bucket feed the pruned posting scan
             val qts = terms.map(t => graft.search.QueryTerm(t, 0L, 0.0,
@@ -313,7 +316,8 @@ final class MeiliRank(engine: SearchEngine,
     // already has its own derivation above)
     val prefixDfs = slots.flatMap(s => s.prefixDerivs.map { p =>
       val docs = fids match {
-        case Some(_) => engine.prefixPositionRows(p, fids).select($"docId").distinct()
+        // no distinct — dedup happens in the per-doc aggregation
+        case Some(_) => engine.prefixPositionRows(p, fids).select($"docId")
         case None => engine.prefixDocs(p).select($"docId")
       }
       docs.select($"docId", lit(s.idx).as("slot"),
