@@ -104,16 +104,28 @@ object Dedup {
     * of one digest (the md5-per-(j,shingle) variant was the dominant
     * cost of the minhash/LSH queries). 40-bit halves keep
     * h1 + 63·h2 < 2^46, so the arithmetic is overflow-free in both
-    * Spark and the DuckDB oracle. One aggregation, map-side combinable. */
+    * Spark and the DuckDB oracle.
+    *
+    * ZERO shuffles: a signature is a per-DOCUMENT property, so the
+    * minima are doc-local array expressions over the doc's shingle
+    * array (one md5 per distinct shingle, then `numHashes` array-min
+    * passes) — the previous explode → groupBy(id) shape paid a full
+    * exchange of the shingle stream for an aggregation whose grouping
+    * key was the row it started from (guide §2.4). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("_d", md5(col("shingle")))
-      .withColumn("_h1", conv(substring(col("_d"), 1, 10), 16, 10).cast("long"))
-      .withColumn("_h2", conv(substring(col("_d"), 11, 10), 16, 10).cast("long"))
-    val aggs = (0 until numHashes).map(j =>
-      min(col("_h1") + lit(j.toLong) * col("_h2")).as(s"mh$j"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val toks = tokensCol(col(textCol))
+    val shArr = array_distinct(transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val halves = transform(shArr, s => struct(
+      conv(substring(md5(s), 1, 10), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 11, 10), 16, 10).cast("long").as("h2")))
+    val mhs = (0 until numHashes).map(j =>
+      array_min(transform(col("_hh"),
+        x => x.getField("h1") + lit(j.toLong) * x.getField("h2"))).as(s"mh$j"))
+    Par.widen(df).where(size(toks) >= n)
+      .select(col(idCol).as("id"), halves.as("_hh"))
+      .select(col("id") +: mhs: _*)
   }
 
   /** LSH candidate pairs: band hash = md5(concat of r consecutive
@@ -140,24 +152,28 @@ object Dedup {
     * bit), weighted by term frequency (Charikar '02, reduced width so
     * the external oracle stays expressible). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one aggregation, not two: the tf-weighted vote Σ_terms tf·(±1)
-    // equals Σ_occurrences (±1) — an associative integer sum — so the
-    // per-(id, term) tf pre-aggregation (a full extra shuffle of the
-    // token stream) is unnecessary; the single groupBy(id) is map-side
-    // combinable down to one 16-column row per id per map task
-    val tok = Par.widen(df).select(col(idCol).as("id"),
-        explode(tokensCol(col(textCol))).as("term"))
-      .withColumn("h", md5(col("term")))
+    // ZERO shuffles: the tf-weighted vote Σ_terms tf·(±1) equals the
+    // per-occurrence vote Σ_occurrences (±1) — an associative integer
+    // sum over the doc's OWN token array, so each bit's vote is a
+    // doc-local aggregate() expression (the md5 array materializes
+    // once per doc). The original shape paid two exchanges of the
+    // token stream for a per-document property (guide §2.4).
+    val hArr = transform(tokensCol(col(textCol)), t => md5(t))
     val bitSums = (0 until 16).map { j =>
-      sum(when(substring(col("h"), j + 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1L))
-        .otherwise(lit(-1L))).as(s"s$j")
+      aggregate(col("_h"), lit(0L), (acc, h) =>
+        acc + when(substring(h, j + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1L))
+          .otherwise(lit(-1L))).as(s"s$j")
     }
-    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val withSums = Par.widen(df)
+      // token-less docs produced no grouped row before: same exclusion
+      .where(size(tokensCol(col(textCol))) >= 1)
+      .select(col(idCol).as("id"), hArr.as("_h"))
+      .select(col("id") +: bitSums: _*)
     val sim = (0 until 16).map(j =>
       when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    agg.select(col("id"), sim.as("simhash"))
+    withSums.select(col("id"), sim.as("simhash"))
   }
 
   /** Production 64-bit SimHash (Charikar '02 at full fingerprint
@@ -168,22 +184,26 @@ object Dedup {
     * tf-weighted. Same single map-side-combinable aggregation shape;
     * an independent fingerprint, not a widening of simhash16. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // single-shuffle shape, same reasoning as [[simhash16]]
-    val tok = Par.widen(df).select(col(idCol).as("id"),
-        explode(tokensCol(col(textCol))).as("term"))
-      .withColumn("_d", md5(col("term")))
-      .withColumn("_h1", conv(substring(col("_d"), 1, 8), 16, 10).cast("long"))
-      .withColumn("_h2", conv(substring(col("_d"), 9, 8), 16, 10).cast("long"))
+    // zero-shuffle doc-local shape, same reasoning as [[simhash16]]
+    val halves = transform(tokensCol(col(textCol)), t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
     val bitSums = (0 until 64).map { j =>
-      val half = if (j < 32) col("_h1") else col("_h2")
-      sum(when(shiftrightunsigned(half, j % 32).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"s$j")
+      val half: Column => Column =
+        x => if (j < 32) x.getField("h1") else x.getField("h2")
+      aggregate(col("_hh"), lit(0L), (acc, x) =>
+        acc + when(shiftrightunsigned(half(x), j % 32)
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))).as(s"s$j")
     }
-    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val withSums = Par.widen(df)
+      // token-less docs produced no grouped row before: same exclusion
+      .where(size(tokensCol(col(textCol))) >= 1)
+      .select(col(idCol).as("id"), halves.as("_hh"))
+      .select(col("id") +: bitSums: _*)
     val sim = (0 until 64).map(j =>
       when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sim.as("simhash64"))
+    withSums.select(col("id"), sim.as("simhash64"))
   }
 
   /** Hamming distance between two 64-bit fingerprints as a codegen'd
