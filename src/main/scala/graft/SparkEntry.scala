@@ -209,11 +209,17 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .join(e.docs.select(col("docId").cast("long").as("doc_id"),
           col("repo").as("source")), Seq("doc_id"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("source"), col("doc_id"), col("score"))
+      // per-source winner by (score desc, doc_id asc) as ONE map-side-
+      // combinable max_by aggregation (guide §2.3: aggregate before you
+      // shuffle) — the previous row_number window shipped every scored
+      // row through a sort exchange to pick one row per source. The
+      // ordering struct is unique per row (doc_id is a key), so the
+      // winner is deterministic and identical to the window's rn=1.
+      scored.groupBy(col("source"))
+        .agg(max_by(struct(col("doc_id"), col("score")),
+          struct(col("score"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("source"), col("b.doc_id").as("doc_id"),
+          col("b.score").as("score"))
         .orderBy(col("source"))
     }),
     // ---- words / phrase / proximity / negative / prefix / typo -------
